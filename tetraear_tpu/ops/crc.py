@@ -1,0 +1,128 @@
+"""CRC-16-CCITT as a GF(2) affine map -> batched TPU matmul.
+
+The bitwise CRC update (protocol.py:331-347: poly 0x1021, init 0xFFFF, MSB
+first, no reflection) is linear over GF(2) in the message bits, so for a fixed
+message length M:
+
+    crc(bits) = (A @ bits) mod 2  XOR  crc(zeros_M)
+
+with A a 16xM binary matrix whose column i is crc(e_i) ^ crc(0).  A batch of
+frames then computes all CRCs in one (F, M) x (M, 16) int matmul — MXU work
+instead of a per-bit Python loop.
+
+`crc16_bits` is the exact scalar oracle (host).  `soft_crc_check_*` implement
+the reference's soft acceptance: <=2 bit errors, with a reversed-payload
+retry (protocol.py:292-329).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax.numpy as jnp
+
+from tetraear_tpu import constants as C
+
+
+def crc16_bits(bits) -> int:
+    """Exact reference CRC: one shift per message bit (protocol.py:331-343)."""
+    crc = C.CRC16_INIT
+    for bit in np.asarray(bits).astype(np.int64) & 1:
+        crc ^= int(bit) << 15
+        if crc & 0x8000:
+            crc = ((crc << 1) ^ C.CRC16_POLY) & 0xFFFF
+        else:
+            crc = (crc << 1) & 0xFFFF
+    return crc
+
+
+def crc16_bits_arr(bits) -> np.ndarray:
+    """CRC as a 16-element MSB-first bit array (protocol.py:346-347)."""
+    crc = crc16_bits(bits)
+    return np.array([(crc >> i) & 1 for i in range(15, -1, -1)], dtype=np.uint8)
+
+
+@functools.lru_cache(maxsize=32)
+def _crc_matrix(m: int) -> tuple[np.ndarray, np.ndarray]:
+    """(A, c0): crc_bits(x) = (A @ x) % 2 ^ c0 for messages of length m.
+
+    Built incrementally: track, for each of the 16 CRC state bits, its GF(2)
+    dependence on each message bit, by stepping the linear recurrence once
+    per message position.  O(m) setup, cached per length.
+    """
+    # state_dep[s] = length-m uint8 vector: dependence of state bit s on input
+    # state_const = 16 bits: affine part (from init 0xFFFF)
+    state_dep = np.zeros((16, m), dtype=np.uint8)
+    state_const = np.array([(C.CRC16_INIT >> (15 - s)) & 1 for s in range(16)],
+                           dtype=np.uint8)
+    poly_bits = np.array([(C.CRC16_POLY >> (15 - s)) & 1 for s in range(16)],
+                         dtype=np.uint8)
+    for i in range(m):
+        # feedback bit = state_bit0 XOR input_i
+        fb_dep = state_dep[0].copy()
+        fb_dep[i] ^= 1
+        fb_const = state_const[0]
+        # shift left, inject feedback times polynomial
+        new_dep = np.zeros_like(state_dep)
+        new_dep[:15] = state_dep[1:]
+        new_const = np.zeros_like(state_const)
+        new_const[:15] = state_const[1:]
+        new_dep ^= poly_bits[:, None] * fb_dep[None, :]
+        new_const ^= poly_bits * fb_const
+        state_dep, state_const = new_dep, new_const
+    return state_dep, state_const
+
+
+def crc16_batch(bits: jnp.ndarray) -> jnp.ndarray:
+    """Batched CRC over the last axis.
+
+    bits: (..., M) in {0,1} -> (..., 16) uint8 CRC bits (MSB first).
+    """
+    m = bits.shape[-1]
+    A, c0 = _crc_matrix(m)
+    x = bits.astype(jnp.int32)
+    acc = jnp.einsum("...m,sm->...s", x, jnp.asarray(A, jnp.int32),
+                     preferred_element_type=jnp.int32)
+    return ((acc & 1) ^ jnp.asarray(c0, jnp.int32)).astype(jnp.uint8)
+
+
+def soft_crc_check_batch(data_bits: jnp.ndarray) -> jnp.ndarray:
+    """Vectorized reference _check_crc (protocol.py:292-329) over frames.
+
+    data_bits: (..., D) with D >= 16; payload = [:-16], received = [-16:].
+    Pass conditions: not all-ones/all-zeros, and (errors <= 2 on the forward
+    payload CRC) or (errors <= 2 on the reversed-payload CRC).
+    Returns (...,) bool.
+    """
+    d = data_bits.shape[-1]
+    if d < 16:
+        return jnp.zeros(data_bits.shape[:-1], bool)
+    payload = data_bits[..., :-16]
+    received = data_bits[..., -16:].astype(jnp.int32)
+
+    ones = data_bits.sum(axis=-1)
+    nondegenerate = (ones != 0) & (ones != d)
+
+    fwd = crc16_batch(payload).astype(jnp.int32)
+    rev = crc16_batch(payload[..., ::-1]).astype(jnp.int32)
+    err_f = jnp.sum(fwd != received, axis=-1)
+    err_r = jnp.sum(rev != received, axis=-1)
+    ok = (err_f <= C.CRC_SOFT_ERROR_BUDGET) | (err_r <= C.CRC_SOFT_ERROR_BUDGET)
+    return nondegenerate & ok
+
+
+def soft_crc_check_host(data_bits) -> bool:
+    """Exact host-side reference _check_crc for a single frame."""
+    bits = np.asarray(data_bits).astype(np.uint8) & 1
+    if bits.size < 16:
+        return False
+    ones = int(bits.sum())
+    if ones == 0 or ones == bits.size:
+        return False
+    payload, received = bits[:-16], bits[-16:]
+    if int(np.sum(crc16_bits_arr(payload) != received)) <= C.CRC_SOFT_ERROR_BUDGET:
+        return True
+    if int(np.sum(crc16_bits_arr(payload[::-1]) != received)) <= C.CRC_SOFT_ERROR_BUDGET:
+        return True
+    return False

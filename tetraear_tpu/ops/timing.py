@@ -1,0 +1,71 @@
+"""Symbol-timing recovery.
+
+`best_phase_pick` reproduces the reference's grid search
+(processor.py:168-219): among sampling phases p in {0, step, 2*step, ...}
+choose the one maximizing mean |x[p::sps]|^2 (first maximum wins), then sample
+on that grid.  All phases are evaluated at once as a masked 2-D reduction —
+no Python loop, fully batched.
+
+Outputs are fixed-shape (jit-friendly): a padded symbol array of capacity
+ceil(N/sps) plus a valid-count, since the number of symbols depends on the
+winning phase.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+
+class TimedSymbols(NamedTuple):
+    symbols: jnp.ndarray   # (..., M) complex64, zero-padded past `count`
+    count: jnp.ndarray     # (...,) int32 valid symbols
+    best_phase: jnp.ndarray  # (...,) int32
+
+
+def best_phase_pick(x: jnp.ndarray, sps: int, step: int | None = None
+                    ) -> TimedSymbols:
+    """x: (..., N) complex.  Returns symbols sampled at the best phase.
+
+    Matches processor.py:186-215: phases range(0, sps, step) with
+    step = max(1, sps // 8); per-phase mean power over (N - p)//sps samples;
+    strict-> argmax (ties: lowest phase).
+    """
+    if sps <= 1:
+        n = x.shape[-1]
+        return TimedSymbols(
+            x.astype(jnp.complex64),
+            jnp.full(x.shape[:-1], n, jnp.int32),
+            jnp.zeros(x.shape[:-1], jnp.int32))
+
+    if step is None:
+        step = max(1, sps // 8)
+    n = x.shape[-1]
+    m = -(-n // sps)                      # capacity: ceil(n / sps)
+    phases = jnp.arange(0, sps, step, dtype=jnp.int32)   # (P,)
+
+    # index grid (P, M): p + k*sps, masked where beyond (n - p)//sps symbols
+    k = jnp.arange(m, dtype=jnp.int32)
+    idx = phases[:, None] + k[None, :] * sps             # (P, M)
+    counts = (n - phases) // sps                          # (P,)
+    mask = k[None, :] < counts[:, None]                   # (P, M)
+    idx_safe = jnp.minimum(idx, n - 1)
+
+    gathered = x[..., idx_safe]                           # (..., P, M)
+    power = jnp.abs(gathered) ** 2
+    power = jnp.where(mask, power, 0.0)
+    mean_power = power.sum(axis=-1) / jnp.maximum(counts, 1).astype(power.dtype)
+    # phases with zero symbols are skipped by the reference (`continue`)
+    mean_power = jnp.where(counts > 0, mean_power, -jnp.inf)
+
+    best = jnp.argmax(mean_power, axis=-1)                # first max wins
+    best_phase = phases[best]
+    count = (n - best_phase) // sps
+
+    sym = jnp.take_along_axis(
+        gathered, best[..., None, None], axis=-2)[..., 0, :]
+    sym = jnp.where(k < count[..., None], sym, 0.0 + 0.0j)
+    return TimedSymbols(sym.astype(jnp.complex64),
+                        count.astype(jnp.int32),
+                        best_phase.astype(jnp.int32))
