@@ -1,0 +1,270 @@
+"""End-to-end integration: fixtures -> CLI decode -> JSONL; capture loop;
+scanner on synthetic sources; IO round-trips; audio blocks."""
+
+import json
+import struct
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from tetraear_tpu import constants as C
+from tetraear_tpu.audio import blocks
+from tetraear_tpu.audio.voice import VoiceProcessor
+from tetraear_tpu.io.recorder import (JsonlFrameRecorder, read_jsonl_frames,
+                                      sanitize_frame)
+from tetraear_tpu.io.replay import (FileReplaySource, SyntheticSource,
+                                    load_iq, save_iq)
+from tetraear_tpu.signal.detector import TetraSignalDetector
+from tetraear_tpu.signal.scanner import FrequencyScanner
+from tetraear_tpu.ui.capture_loop import CaptureLoop
+from tetraear_tpu.utils import synth
+
+REPO = Path(__file__).resolve().parents[2]
+
+
+@pytest.fixture(scope="module")
+def golden_iq(tmp_path_factory):
+    """A .cf32 fixture with 6 golden frames on the 130-sample symbol grid."""
+    stream = synth.make_stream_bits(num_frames=6, lead_bits=64, seed=2,
+                                    golden=True)
+    syms = synth.bits_to_symbols(stream)
+    phasors = synth.synthesize_symbol_phasors(syms, mapping="ref")
+    iq = synth.upsample_hold(phasors, 2.4e6, 2.4e6 / 130.0).astype(np.complex64)
+    path = tmp_path_factory.mktemp("iq") / "golden.cf32"
+    save_iq(path, iq, sample_rate=2.4e6, center_frequency=392.5e6)
+    return path
+
+
+class TestIO:
+    @pytest.mark.parametrize("ext", [".cf32", ".cs16", ".cs8", ".npy"])
+    def test_iq_roundtrip(self, tmp_path, ext, rng):
+        x = (rng.standard_normal(1000) + 1j * rng.standard_normal(1000)
+             ).astype(np.complex64) * 0.1
+        p = tmp_path / f"t{ext}"
+        save_iq(p, x, sample_rate=2.4e6)
+        y = load_iq(p)
+        assert y.dtype == np.complex64 and len(y) == len(x)
+        tol = {".cf32": 1e-6, ".npy": 1e-6, ".cs16": 1e-3, ".cs8": 2e-2}[ext]
+        np.testing.assert_allclose(y, x, atol=tol)
+
+    def test_replay_source_reads_and_exhausts(self, golden_iq):
+        src = FileReplaySource(golden_iq)
+        assert src.open()
+        assert src.sample_rate == 2.4e6          # from sidecar
+        a = src.read_samples(1000)
+        assert len(a) == 1000
+        rest = src.read_samples(10_000_000)
+        assert src.exhausted
+        assert len(rest) < 10_000_000
+        src.close()
+
+    def test_replay_loop_mode(self, golden_iq):
+        src = FileReplaySource(golden_iq, loop=True)
+        src.open()
+        total = len(load_iq(golden_iq))
+        a = src.read_samples(total + 500)
+        assert len(a) == total + 500
+
+    def test_jsonl_sanitize_and_roundtrip(self, tmp_path):
+        p = tmp_path / "frames.jsonl"
+        frame = {
+            "number": np.int64(3),
+            "bits": np.array([0, 1, 1]),
+            "crc": np.bool_(True),
+            "mac_pdu": {"data": b"\x01\x02"},
+            "conf": np.float32(0.5),
+        }
+        with JsonlFrameRecorder(p) as rec:
+            rec.write(frame)
+        rows = list(read_jsonl_frames(p))
+        assert rows[0]["number"] == 3
+        assert rows[0]["bits"] == [0, 1, 1]
+        assert rows[0]["crc"] is True
+        assert rows[0]["mac_pdu"]["data"] == "0102"
+
+    def test_sanitize_nested(self):
+        out = sanitize_frame({"a": [np.int32(1), {"b": b"\xff"}]})
+        assert out == {"a": [1, {"b": "ff"}]}
+
+
+class TestCaptureLoop:
+    def test_replay_decodes_frames(self, golden_iq):
+        src = FileReplaySource(golden_iq)
+        loop = CaptureLoop(src, sample_rate=2.4e6, auto_decrypt=False,
+                           always_decode=True, afc=False)
+        frames = []
+        loop.on_frame = frames.append
+        loop.run(max_chunks=10)
+        assert loop.chunks_processed >= 1
+        assert len(frames) >= 4
+        assert frames[0]["mac_pdu"]["data"] == b"HELLO HELLO"
+
+    def test_retune_applied(self, golden_iq):
+        src = FileReplaySource(golden_iq)
+        loop = CaptureLoop(src, sample_rate=2.4e6, always_decode=True)
+        loop.set_frequency(393e6)
+        loop.run(max_chunks=1)
+        assert loop.frequency == 393e6
+        assert src.frequency == 393e6
+
+
+class TestDetectorScanner:
+    def test_detector_flags_synthetic_tetra(self):
+        rng = np.random.default_rng(0)
+        syms = rng.integers(0, 4, 4000)
+        x = synth.synthesize_iq(syms, snr_db=25, mapping="pi4")
+        det = TetraSignalDetector()
+        res = det.analyze_signal(x)
+        assert res["signal_present"]
+        assert res["modulation_confidence"] > 0.2
+        assert 0.0 <= res["confidence"] <= 1.0
+
+    def test_detector_rejects_noise(self):
+        rng = np.random.default_rng(1)
+        x = 0.001 * (rng.standard_normal(100_000)
+                     + 1j * rng.standard_normal(100_000)).astype(np.complex64)
+        det = TetraSignalDetector()
+        res = det.analyze_signal(x)
+        assert not res["is_tetra"]
+
+    def test_scanner_synthetic_sweep(self):
+        src = SyntheticSource(active_frequencies=(392.5e6,), snr_db=25)
+        src.open()
+        scanner = FrequencyScanner(src, settle_s=0.0)
+        hot = scanner.scan_frequency(392.5e6, dwell_time=0.05)
+        cold = scanner.scan_frequency(391.0e6, dwell_time=0.05)
+        assert hot["power_db"] > cold["power_db"] + 10
+
+    def test_scan_range_returns_list(self):
+        src = SyntheticSource(active_frequencies=(), snr_db=30)
+        src.open()
+        scanner = FrequencyScanner(src, settle_s=0.0)
+        found = scanner.scan_range(390e6, 390.1e6)
+        assert isinstance(found, list)
+
+
+class TestAudioBlocks:
+    def test_hard_bits_block_layout(self):
+        bits = np.ones(432, np.uint8)
+        block = blocks.block_from_hard_bits(bits)
+        assert len(block) == C.CODEC_BLOCK_BYTES
+        shorts = struct.unpack(f"<{C.CODEC_BLOCK_SHORTS}h", block)
+        assert shorts[0] == C.CODEC_FRAME_HEADER
+        assert shorts[1] == 127 and shorts[114] == 127
+        assert shorts[115] == 0                   # gap between ranges
+        assert shorts[116] == 127 and shorts[229] == 127
+        assert shorts[230] == 0
+        assert shorts[435] == 127 and shorts[436] == 0
+
+    def test_soft_llr_block(self):
+        llrs = np.linspace(-1, 1, 432)
+        block = blocks.block_from_soft_llrs(llrs)
+        shorts = struct.unpack(f"<{C.CODEC_BLOCK_SHORTS}h", block)
+        assert shorts[1] == -127
+        assert max(shorts[1:]) <= 127 and min(shorts[1:]) >= -127
+
+    def test_symbols_block_quirks(self):
+        frame = {"position": 0}
+        syms = np.random.default_rng(0).integers(0, 4, 300)
+        block = blocks.block_from_symbols(frame, syms, 133)
+        assert block is not None and len(block) == C.CODEC_BLOCK_BYTES
+        # missing position -> None
+        assert blocks.block_from_symbols({}, syms, 133) is None
+        # too-short symbol stream -> None
+        assert blocks.block_from_symbols(frame, syms[:100], 133) is None
+
+    def test_validate_block(self):
+        assert not blocks.validate_block(b"short")
+        good = blocks.block_from_hard_bits(np.zeros(432, np.uint8))
+        assert blocks.validate_block(good)
+
+
+class TestVoiceProcessor:
+    def test_missing_codec_not_working(self, tmp_path):
+        vp = VoiceProcessor(codec_dir=tmp_path)
+        assert not vp.working
+        assert vp.decode_frame(b"\x21\x6b" + bytes(1378)).size == 0
+
+    def test_mocked_codec_chain(self, tmp_path):
+        """Fake cdecoder/sdecoder scripts exercise the full two-stage chain
+        without the real exes (reference test strategy,
+        tests/unit/test_voice_processor.py:73-93)."""
+        cdec = tmp_path / "cdecoder"
+        sdec = tmp_path / "sdecoder"
+        # cdecoder writes 552 bytes of serial data; sdecoder writes PCM
+        cdec.write_text("#!/bin/sh\nhead -c 552 /dev/zero > \"$2\"\n")
+        pcm = np.linspace(-0.4, 0.4, 480)
+        pcm_i16 = (pcm * 32767).astype(np.int16).tobytes()
+        pcm_file = tmp_path / "pcm.bin"
+        pcm_file.write_bytes(pcm_i16)
+        sdec.write_text(f"#!/bin/sh\ncp {pcm_file} \"$2\"\n")
+        cdec.chmod(0o755)
+        sdec.chmod(0o755)
+        vp = VoiceProcessor(codec_dir=tmp_path)
+        assert vp.working
+        block = blocks.block_from_hard_bits(np.ones(432, np.uint8))
+        audio = vp.decode_frame(block)
+        assert audio.size == 480
+        assert abs(float(np.max(audio)) - 0.4) < 0.01
+
+    def test_silent_output_rejected(self, tmp_path):
+        cdec = tmp_path / "cdecoder"
+        sdec = tmp_path / "sdecoder"
+        cdec.write_text("#!/bin/sh\nhead -c 552 /dev/zero > \"$2\"\n")
+        sdec.write_text("#!/bin/sh\nhead -c 960 /dev/zero > \"$2\"\n")
+        cdec.chmod(0o755)
+        sdec.chmod(0o755)
+        vp = VoiceProcessor(codec_dir=tmp_path)
+        block = blocks.block_from_hard_bits(np.ones(432, np.uint8))
+        assert vp.decode_frame(block).size == 0
+
+    def test_invalid_header_rejected(self, tmp_path):
+        cdec = tmp_path / "cdecoder"
+        sdec = tmp_path / "sdecoder"
+        cdec.write_text("#!/bin/sh\n")
+        sdec.write_text("#!/bin/sh\n")
+        cdec.chmod(0o755)
+        sdec.chmod(0o755)
+        vp = VoiceProcessor(codec_dir=tmp_path)
+        assert vp.decode_frame(bytes(1380)).size == 0
+
+
+class TestCLI:
+    def test_decode_subcommand(self, golden_iq, tmp_path):
+        out = tmp_path / "frames.jsonl"
+        result = subprocess.run(
+            [sys.executable, "-m", "tetraear_tpu", "decode", str(golden_iq),
+             "-o", str(out), "--no-bits"],
+            capture_output=True, text=True, timeout=300,
+            env={**__import__("os").environ, "PYTHONPATH": str(REPO),
+                 "TETRAEAR_TPU_LOG_DIR": str(tmp_path / "logs"),
+                 "JAX_PLATFORMS": "cpu"},
+            cwd=str(tmp_path))
+        assert result.returncode == 0, result.stderr[-2000:]
+        assert "[DONE]" in result.stdout
+        rows = list(read_jsonl_frames(out))
+        assert len(rows) >= 4
+        assert rows[0]["type_name"] == "MAC-RESOURCE"
+        assert "bits" not in rows[0]
+        assert rows[0]["mac_pdu"]["data"] == bytes(b"HELLO HELLO").hex()
+
+    def test_listen_subcommand_replay(self, golden_iq, tmp_path):
+        result = subprocess.run(
+            [sys.executable, "-m", "tetraear_tpu", "listen",
+             "--iq-file", str(golden_iq), "--max-chunks", "4",
+             "--no-auto-decrypt", "--no-afc"],
+            capture_output=True, text=True, timeout=300,
+            env={**__import__("os").environ, "PYTHONPATH": str(REPO),
+                 "TETRAEAR_TPU_LOG_DIR": str(tmp_path / "logs"),
+                 "JAX_PLATFORMS": "cpu"},
+            cwd=str(tmp_path))
+        assert result.returncode == 0, result.stderr[-2000:]
+        assert "TetraEar-TPU - CLI Mode" in result.stdout
+        assert "Decoded" in result.stdout
+
+    def test_cli_no_command_shows_help(self):
+        from tetraear_tpu.ui.cli import main
+        assert main([]) == 2

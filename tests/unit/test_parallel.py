@@ -1,0 +1,162 @@
+"""Mesh / halo / sharded-pipeline tests on the 8-device virtual CPU mesh.
+
+The load-bearing check is halo equivalence: the sharded program's interior
+outputs must match the unsharded single-device program bit-for-bit
+(SURVEY.md §7: "prove sharded == unsharded on goldens").
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from tetraear_tpu.config import ReceiverConfig
+from tetraear_tpu.models.multicarrier import MulticarrierFrontend
+from tetraear_tpu.parallel.halo import carry_last, exchange_halo
+from tetraear_tpu.parallel.mesh import (CARRIER_AXIS, TIME_AXIS, factor_mesh,
+                                        make_mesh)
+from tetraear_tpu.parallel.sharded import build_sharded_step, shard_inputs
+from tetraear_tpu.utils import synth
+
+
+@pytest.fixture(scope="module")
+def mesh42():
+    return make_mesh(carrier=4, time=2)
+
+
+class TestMesh:
+    def test_axes(self, mesh42):
+        assert mesh42.axis_names == (CARRIER_AXIS, TIME_AXIS)
+        assert mesh42.shape[CARRIER_AXIS] == 4
+        assert mesh42.shape[TIME_AXIS] == 2
+
+    def test_factor(self):
+        assert factor_mesh(1) == (1, 1)
+        assert factor_mesh(8) == (4, 2)
+        assert factor_mesh(3) == (3, 1)
+
+
+class TestHalo:
+    def test_exchange_matches_neighbours(self):
+        mesh = make_mesh(carrier=1, time=8)
+        n, t = 8, 16
+        x = np.arange(n * t, dtype=np.float32)
+
+        def f(xl):
+            lh, rh = exchange_halo(xl, 4, 4, TIME_AXIS)
+            return jnp.concatenate([lh, rh])
+
+        out = jax.jit(jax.shard_map(
+            f, mesh=mesh, in_specs=P(TIME_AXIS), out_specs=P(TIME_AXIS),
+            check_vma=False))(jnp.asarray(x))
+        out = np.asarray(out).reshape(n, 8)
+        for k in range(n):
+            lh, rh = out[k, :4], out[k, 4:]
+            if k == 0:
+                np.testing.assert_array_equal(lh, 0)
+            else:
+                np.testing.assert_array_equal(lh, x[k * t - 4:k * t])
+            if k == n - 1:
+                np.testing.assert_array_equal(rh, 0)
+            else:
+                np.testing.assert_array_equal(rh, x[(k + 1) * t:(k + 1) * t + 4])
+
+    def test_carry_last(self):
+        mesh = make_mesh(carrier=1, time=4)
+        x = np.arange(16, dtype=np.float32)
+
+        def f(xl):
+            return carry_last(xl, TIME_AXIS)[None]
+
+        out = np.asarray(jax.jit(jax.shard_map(
+            f, mesh=mesh, in_specs=P(TIME_AXIS), out_specs=P(TIME_AXIS),
+            check_vma=False))(jnp.asarray(x)))
+        # shard k receives shard k-1's last element; shard 0 receives 0
+        np.testing.assert_array_equal(out, [0.0, 3.0, 7.0, 11.0])
+
+
+class TestShardedEquivalence:
+    def test_sharded_interior_matches_unsharded(self, mesh42):
+        """Bits + sync scores from the sharded program's shard interiors
+        must equal the single-device multicarrier pipeline."""
+        cfg = ReceiverConfig()
+        step = cfg.decimation_factor * cfg.ref_samples_per_symbol   # 130
+        n_time = 2
+        t_local = 1040 * step
+        T = n_time * t_local
+        C = 4
+
+        # wideband with golden frames on carrier 0 + noise
+        stream = synth.make_stream_bits(num_frames=8, lead_bits=64, seed=2,
+                                        golden=True)
+        syms = synth.bits_to_symbols(stream)
+        ph = synth.synthesize_symbol_phasors(syms, mapping="ref")
+        sig = synth.upsample_hold(ph, 2.4e6, 2.4e6 / 130.0)
+        rng = np.random.default_rng(0)
+        x = 0.05 * (rng.standard_normal(T) + 1j * rng.standard_normal(T))
+        x[:len(sig)] += sig[:T]
+        x = x.astype(np.complex64)
+        offsets = np.array([0.0, 25e3, -25e3, 50e3], np.float32)
+
+        # unsharded single-device run
+        mc = MulticarrierFrontend(cfg)
+        ref = mc(x, offsets)
+        ref_bits = np.asarray(ref.bits)
+
+        run = build_sharded_step(mesh42, cfg)
+        xs, offs = shard_inputs(mesh42, x, offsets)
+        out = run(xs, offs)
+        bits = np.asarray(out.bits)       # (C, n_time, B_ext)
+        best = np.asarray(out.best_phase)
+
+        halo = 132 * step
+        h_dec = halo // cfg.decimation_factor
+        sps = cfg.ref_samples_per_symbol
+        halo_syms = h_dec // sps          # symbols per halo region
+
+        for c in range(C):
+            for k in range(n_time):
+                # shard's symbol j corresponds to global symbol
+                # m = j + k*(t_local_dec)/sps - halo_syms
+                seg = bits[c, k]
+                offset_syms = k * (t_local // cfg.decimation_factor) // sps \
+                    - halo_syms
+                # compare an interior window well inside the halo margin
+                j0 = halo_syms + 8        # skip halo + filter edge symbols
+                j1 = seg.shape[0] // 2 - halo_syms - 8
+                # bit index of symbol-diff j is 2*(j-1); global bit index
+                # 2*(j-1+offset_syms)
+                g0 = 2 * (j0 - 1 + offset_syms)
+                g1 = 2 * (j1 - 1 + offset_syms)
+                local = seg[2 * (j0 - 1):2 * (j1 - 1)]
+                ref_seg = ref_bits[c, g0:g1]
+                agreement = (local == ref_seg).mean()
+                # carrier 0 carries the golden signal: decisions have margin
+                # and must match bit-for-bit.  Pure-noise carriers contain
+                # near-zero-amplitude symbols whose phase is unstable under
+                # the fp-reduction reassociation of differently-shaped XLA
+                # programs — allow rare deep-fade flips.
+                required = 1.0 if c == 0 else 0.995
+                assert agreement >= required, (
+                    f"carrier {c} shard {k}: agreement {agreement}")
+        # phase agreement with unsharded pick
+        # (psum over interiors == whole-block metric within fp tolerance)
+        for c in range(C):
+            assert best[c, 0] == best[c, 1]
+
+    def test_entry_points_compile(self):
+        """__graft_entry__ contract: entry() jits; dryrun_multichip runs on
+        the virtual mesh."""
+        import importlib.util
+        from pathlib import Path
+        spec = importlib.util.spec_from_file_location(
+            "__graft_entry__",
+            Path(__file__).resolve().parents[2] / "__graft_entry__.py")
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        fn, args = mod.entry()
+        out = jax.jit(fn)(*args)
+        assert out is not None
+        mod.dryrun_multichip(8)

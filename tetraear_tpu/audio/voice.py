@@ -1,0 +1,170 @@
+"""ETSI ACELP voice decode via the reference codec executables.
+
+Behavioral parity with tetraear/audio/voice.py:24-250.  The codec is the
+ETSI EN 300 395-2 reference C implementation run as two subprocesses per
+time-slot block:
+
+    cdecoder  soft bits (690 x int16, header 0x6B21) -> serial vocoder bits
+              ((BFI + 137) x int16 per speech frame, 2 frames = 552 B)
+    sdecoder  serial bits -> 8 kHz int16 PCM
+
+Host-side by design (BASELINE: "voice codec exe stays on host").  On Linux
+the binaries are looked up without the .exe suffix first.  The environment
+has no network access, so the ETSI source download recipe
+(tools/install_tetra_codec.py in the reference) cannot run here; when the
+binaries are absent the processor reports not-working and decode_frame
+returns an empty array — same degraded behavior as the reference without
+its bundled exes.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import subprocess
+import tempfile
+from pathlib import Path
+
+import numpy as np
+
+from tetraear_tpu import constants as C
+from tetraear_tpu.audio.blocks import validate_block
+
+logger = logging.getLogger(__name__)
+codec_logger = logging.getLogger("tetraear_tpu.codec")
+
+_CODEC_TIMEOUT_S = 5
+
+
+def _find_exe(directory: Path, stem: str) -> Path:
+    """Prefer the native binary; fall back to the .exe name."""
+    native = directory / stem
+    if native.exists():
+        return native
+    return directory / f"{stem}.exe"
+
+
+class VoiceProcessor:
+    """Two-stage subprocess codec wrapper."""
+
+    def __init__(self, codec_path=None, cdecoder_path=None,
+                 sdecoder_path=None, codec_dir=None):
+        default_dir = Path(__file__).resolve().parents[1] / "tetra_codec" / "bin"
+        env_dir = os.environ.get("TETRAEAR_TPU_CODEC_DIR")
+        if codec_dir is not None:
+            resolved = Path(codec_dir)
+        elif cdecoder_path is not None or codec_path is not None:
+            resolved = Path(cdecoder_path or codec_path).resolve().parent
+        elif env_dir:
+            resolved = Path(env_dir)
+        else:
+            resolved = default_dir
+
+        self.cdecoder_path = (Path(cdecoder_path or codec_path)
+                              if (cdecoder_path or codec_path) is not None
+                              else _find_exe(resolved, "cdecoder"))
+        self.sdecoder_path = (Path(sdecoder_path) if sdecoder_path is not None
+                              else _find_exe(resolved, "sdecoder"))
+
+        self.channel_decoder_available = self.cdecoder_path.exists()
+        self.speech_decoder_available = self.sdecoder_path.exists()
+        self.working = (self.channel_decoder_available
+                        and self.speech_decoder_available)
+        if not self.channel_decoder_available:
+            logger.warning("TETRA codec channel decoder not found at %s",
+                           self.cdecoder_path)
+        if not self.speech_decoder_available:
+            logger.warning("TETRA codec speech decoder not found at %s",
+                           self.sdecoder_path)
+
+    def decode_frame(self, frame_data: bytes) -> np.ndarray:
+        """690-short block -> float32 PCM in [-1, 1]; empty on failure."""
+        if not self.working or not frame_data:
+            return np.zeros(0)
+        if not validate_block(frame_data):
+            logger.debug("Invalid codec block (%d bytes)", len(frame_data))
+            return np.zeros(0)
+
+        keep_temp = os.environ.get("TETRAEAR_KEEP_CODEC_TEMP", "").strip(
+            ).lower() in ("1", "true", "yes", "y")
+        with tempfile.NamedTemporaryFile(mode="wb", delete=False,
+                                         suffix=".tet") as tmp_in:
+            tmp_in.write(frame_data)
+            in_path = Path(tmp_in.name)
+        serial_path = Path(str(in_path) + ".serial")
+        synth_path = Path(str(in_path) + ".synth")
+
+        def _cleanup():
+            if keep_temp:
+                return
+            for p in (in_path, serial_path, synth_path):
+                try:
+                    p.unlink(missing_ok=True)
+                except Exception:
+                    pass
+
+        try:
+            if not self._run_stage(self.cdecoder_path, in_path, serial_path):
+                _cleanup()
+                return np.zeros(0)
+            self._log_bfi(serial_path)
+            if not self._run_stage(self.sdecoder_path, serial_path, synth_path):
+                _cleanup()
+                return np.zeros(0)
+
+            pcm = np.frombuffer(synth_path.read_bytes(), dtype=np.int16)
+            if pcm.size == 0:
+                _cleanup()
+                return np.zeros(0)
+            audio = pcm.astype(np.float32) / 32768.0
+            max_amp = float(np.max(np.abs(audio)))
+            codec_logger.debug("Codec produced %d samples (max amp %.4f)",
+                               audio.size, max_amp)
+            # near-silent output == decode failure (voice.py:222-232)
+            if max_amp < 1e-5:
+                codec_logger.debug("Near-silent codec output; treating as "
+                                   "decode failure")
+                _cleanup()
+                return np.zeros(0)
+            _cleanup()
+            logger.info("Decoded %d audio samples from voice frame", audio.size)
+            return audio
+        except Exception as e:
+            logger.debug("Voice decode error: %s", e)
+            _cleanup()
+            return np.zeros(0)
+
+    def _run_stage(self, exe: Path, inp: Path, outp: Path) -> bool:
+        codec_logger.debug("Calling %s %s %s", exe, inp, outp)
+        try:
+            result = subprocess.run(
+                [str(exe), str(inp.resolve()), str(outp.resolve())],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                check=False, timeout=_CODEC_TIMEOUT_S)
+        except subprocess.TimeoutExpired:
+            codec_logger.debug("%s timed out", exe.name)
+            return False
+        if result.stdout:
+            codec_logger.debug("STDOUT: %s",
+                               result.stdout.decode("utf-8", "ignore").strip())
+        if result.stderr:
+            codec_logger.debug("STDERR: %s",
+                               result.stderr.decode("utf-8", "ignore").strip())
+        if result.returncode != 0:
+            codec_logger.debug("%s failed with return code %s",
+                               exe.name, result.returncode)
+        return outp.exists() and outp.stat().st_size > 0
+
+    def _log_bfi(self, serial_path: Path) -> None:
+        """Sanity-log the BFI words of the serial output (voice.py:159-171)."""
+        try:
+            raw = serial_path.read_bytes()[:552]
+            if len(raw) >= 2:
+                bfi1 = int.from_bytes(raw[0:2], "little", signed=True)
+                bfi2 = None
+                if len(raw) >= 278:
+                    bfi2 = int.from_bytes(raw[276:278], "little", signed=True)
+                codec_logger.debug("cdecoder BFI: frame1=%s frame2=%s",
+                                   bfi1, bfi2)
+        except Exception:
+            pass

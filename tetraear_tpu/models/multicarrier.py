@@ -1,0 +1,125 @@
+"""Multi-carrier device pipeline (BASELINE config 4): one wideband block ->
+per-carrier bits, dense sync scores, fixed-K frame candidates with batched
+CRC verdicts — all in a single jitted program.
+
+This is the flagship "model": the whole per-block decode compute, batched
+over carriers, with only the data-dependent MAC/SDS parsing left to the
+host.  Ragged outputs (0..N sync hits per carrier) are returned as
+fixed-capacity top-K candidates with validity masks (SURVEY.md §7 hard
+parts: jit-friendly raggedness).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tetraear_tpu import constants as C
+from tetraear_tpu.config import ReceiverConfig
+from tetraear_tpu.ops import channelizer, dqpsk, fir, sync, timing
+from tetraear_tpu.ops.crc import soft_crc_check_batch
+
+
+class MulticarrierResult(NamedTuple):
+    bits: jnp.ndarray        # (C, B) uint8 demodulated bit streams
+    sync_corr: jnp.ndarray   # (C, B-21) float32 best-of-TS1/TS2
+    count: jnp.ndarray       # (C,) int32 valid symbol count per carrier
+    cand_pos: jnp.ndarray    # (C, K) int32 candidate sync bit positions
+    cand_corr: jnp.ndarray   # (C, K) float32 candidate correlations
+    cand_valid: jnp.ndarray  # (C, K) bool — corr >= threshold & in-bounds
+    frame_bits: jnp.ndarray  # (C, K, 510) uint8 candidate frame windows
+    crc_ok: jnp.ndarray      # (C, K) bool — device soft-CRC verdict
+
+
+def extract_candidates(bits: jnp.ndarray, corr: jnp.ndarray,
+                       valid_bits: jnp.ndarray, k: int,
+                       threshold: float) -> tuple:
+    """Top-K sync candidates + 510-bit frame windows + batched CRC.
+
+    bits: (..., B); corr: (..., B-21); valid_bits: (...,) count of valid
+    bits per row (padded tails are masked out).
+    """
+    b = bits.shape[-1]
+    ncorr = corr.shape[-1]
+    pos_idx = jnp.arange(ncorr, dtype=jnp.int32)
+    # a window starting at p covers bits [p-216, p-216+510)
+    in_bounds = ((pos_idx >= C.SYNC_TO_FRAME_START_BITS)
+                 & (pos_idx[None, ...] - C.SYNC_TO_FRAME_START_BITS
+                    + C.BITS_PER_SLOT <= valid_bits[..., None]))
+    in_bounds = jnp.broadcast_to(in_bounds.reshape(corr.shape), corr.shape)
+    masked = jnp.where(in_bounds, corr, -1.0)
+    top_corr, top_pos = jax.lax.top_k(masked, k)          # (..., K)
+    start = jnp.maximum(top_pos - C.SYNC_TO_FRAME_START_BITS, 0)
+    win = start[..., None] + jnp.arange(C.BITS_PER_SLOT)[None, :]
+    win = jnp.minimum(win, b - 1)
+    frames = jnp.take_along_axis(
+        jnp.broadcast_to(bits[..., None, :], bits.shape[:-1] + (k, b)),
+        win, axis=-1)
+    valid = (top_corr >= threshold)
+    data_bits = jnp.concatenate(
+        [frames[..., C.BURST_BLOCK1[0]:C.BURST_BLOCK1[1]],
+         frames[..., C.BURST_BLOCK2[0]:C.BURST_BLOCK2[1]]], axis=-1)
+    crc_ok = soft_crc_check_batch(data_bits)
+    return top_pos.astype(jnp.int32), top_corr, valid, frames.astype(jnp.uint8), crc_ok
+
+
+def _multicarrier_block(x: jnp.ndarray, offsets_hz: jnp.ndarray,
+                        cfg: ReceiverConfig, k: int, threshold: float,
+                        start_index) -> MulticarrierResult:
+    decim = cfg.decimation_factor
+    taps_d = jnp.asarray(fir.design_decimation_fir(
+        decim, cfg.decim_fir_taps_per_phase))
+    cutoff = (cfg.channel_bandwidth_hz / 2) / (cfg.intermediate_rate_hz / 2)
+    taps_c = jnp.asarray(fir.design_channel_fir(cfg.channel_fir_taps, cutoff))
+
+    y = channelizer.channelize(x, offsets_hz, cfg.sample_rate_hz, decim,
+                               taps=taps_d, start_index=start_index)
+    y = fir.fir_filter_same(y, taps_c)
+    ts = timing.best_phase_pick(y, cfg.ref_samples_per_symbol)
+    hard = dqpsk.demodulate_hard(ts.symbols, profile="ref")
+    bits = dqpsk.symbols_to_bits(hard)
+    corr = sync.best_correlation(bits)
+    valid_bits = jnp.maximum(ts.count - 1, 0) * 2
+    pos, ccorr, valid, frames, crc_ok = extract_candidates(
+        bits, corr, valid_bits, k, threshold)
+    return MulticarrierResult(bits, corr, ts.count, pos, ccorr, valid,
+                              frames, crc_ok)
+
+
+class MulticarrierFrontend:
+    """Jitted multi-carrier block pipeline with a fixed candidate budget."""
+
+    def __init__(self, config: ReceiverConfig | None = None,
+                 num_candidates: int = 64, threshold: float = 0.80):
+        self.config = config or ReceiverConfig()
+        self.num_candidates = num_candidates
+        self.threshold = threshold
+
+    @functools.lru_cache(maxsize=8)
+    def _compiled(self, n: int, c: int):
+        cfg, k, thr = self.config, self.num_candidates, self.threshold
+
+        @jax.jit
+        def run(x, offsets, start_index):
+            return _multicarrier_block(x, offsets, cfg, k, thr, start_index)
+        return run
+
+    def __call__(self, x, offsets_hz, start_index: int = 0
+                 ) -> MulticarrierResult:
+        x = jnp.asarray(x, jnp.complex64)
+        # no numpy round-trip: offsets may already live on device
+        offsets = jnp.asarray(offsets_hz, jnp.float32)
+        fn = self._compiled(x.shape[-1], offsets.shape[-1])
+        return fn(x, offsets, jnp.int32(start_index))
+
+    def __hash__(self):
+        return hash((self.config, self.num_candidates, self.threshold))
+
+    def __eq__(self, other):
+        return (isinstance(other, MulticarrierFrontend)
+                and (self.config, self.num_candidates, self.threshold)
+                == (other.config, other.num_candidates, other.threshold))

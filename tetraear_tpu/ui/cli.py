@@ -1,0 +1,352 @@
+"""Command-line front-end.
+
+Reference parity: `tetraear_tpu listen` is the `--no-gui` CLI mode
+(ui/modern.py:5422-5657) with the same flags (-f/-g/-s/--scan/
+--auto-decrypt/-v); `tetraear_tpu decode` is the offline conformance path
+(continuous_capture.py shape: IQ -> frames JSONL).  There is no GUI in this
+build — TPU hosts are headless; the waterfall/table surface is the JSONL +
+log streams.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from datetime import datetime
+from pathlib import Path
+
+_ANSI = {"red": "\x1b[31m", "green": "\x1b[32m", "yellow": "\x1b[33m",
+         "blue": "\x1b[34m", "magenta": "\x1b[35m", "cyan": "\x1b[36m",
+         "white": "\x1b[37m", "reset": "\x1b[0m"}
+
+
+def _c(color: str, text: str) -> str:
+    if sys.stdout.isatty():
+        return f"{_ANSI[color]}{text}{_ANSI['reset']}"
+    return text
+
+
+class CLITetraListener:
+    """Colored frame/status printer (ui/modern.py:5422-5493)."""
+
+    _TYPE_COLORS = [("MAC-RESOURCE", "blue"), ("MAC-BROADCAST", "yellow"),
+                    ("MAC-FRAG", "green"), ("MAC-SUPPL", "magenta"),
+                    ("MAC-U-SIGNAL", "red"), ("MAC-DATA", "cyan")]
+
+    def __init__(self, loop):
+        self.loop = loop
+        self.start_time = datetime.now()
+        self.signal_active = False
+        self.frame_count = 0
+        loop.on_status = self.on_status
+        loop.on_error = self.on_error
+        loop.on_signal = self.on_signal
+        loop.on_signal_lost = self.on_signal_lost
+        loop.on_frame = self.on_frame
+
+    def on_status(self, msg):
+        print(_c("cyan", f"[STATUS] {msg}"))
+
+    def on_error(self, msg):
+        print(_c("red", f"[ERROR] {msg}"))
+
+    def on_signal(self, freq, snr):
+        if not self.signal_active:
+            print(_c("green", f"[SIGNAL] TETRA Detected at {freq / 1e6:.4f} "
+                              f"MHz (SNR: {snr:.1f} dB)"))
+            self.signal_active = True
+
+    def on_signal_lost(self):
+        if self.signal_active:
+            print(_c("yellow", f"[SIGNAL] Signal Lost "
+                               f"(decoded {self.frame_count} frames)"))
+            self.signal_active = False
+
+    def on_frame(self, frame):
+        self.frame_count += 1
+        ts = datetime.now().strftime("%H:%M:%S.%f")[:-3]
+        fn = frame.get("number", "?")
+        ftype = frame.get("type_name", "Unknown")
+        color = "white"
+        for key, col in self._TYPE_COLORS:
+            if key in ftype:
+                color = col
+                break
+        enc = ""
+        if frame.get("decrypted"):
+            enc = _c("green", "[DEC]")
+        elif frame.get("encrypted"):
+            enc = _c("red", "[ENC]")
+        content = ""
+        if "sds_message" in frame:
+            content = _c("cyan", f"SDS: {frame['sds_message']}")
+        elif "decoded_text" in frame:
+            content = _c("cyan", f"TXT: {frame['decoded_text']}")
+        elif frame.get("has_voice"):
+            content = _c("green", "Voice Audio")
+        print(f"[{ts}] #{fn:<4} {_c(color, f'{ftype:<15}')} {enc} {content}")
+
+
+def _make_source(args):
+    from tetraear_tpu.io.replay import FileReplaySource, SyntheticSource
+    if args.iq_file:
+        return FileReplaySource(args.iq_file,
+                                sample_rate=args.sample_rate * 1e6,
+                                frequency=args.frequency * 1e6,
+                                loop=getattr(args, "loop", False),
+                                realtime=getattr(args, "realtime", False))
+    if getattr(args, "synthetic", False):
+        return SyntheticSource(active_frequencies=(args.frequency * 1e6,),
+                               sample_rate=args.sample_rate * 1e6,
+                               frequency=args.frequency * 1e6)
+    from tetraear_tpu.io.capture import BladeRFCapture
+    return BladeRFCapture(frequency=args.frequency * 1e6,
+                          sample_rate=args.sample_rate * 1e6,
+                          gain=args.gain,
+                          device_identifier=getattr(args, "device", None))
+
+
+def _load_keys(args, loop_or_decoder):
+    if getattr(args, "key_file", None):
+        keys = []
+        for line in Path(args.key_file).read_text().splitlines():
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            keys.append(line.split(":")[-1])
+        loop_or_decoder.set_keys(keys)
+
+
+def cmd_listen(args) -> int:
+    from tetraear_tpu.io.recorder import JsonlFrameRecorder
+    from tetraear_tpu.ui.capture_loop import CaptureLoop
+    from tetraear_tpu.ui.logging_setup import get_records_dir
+
+    print(_c("cyan", "TetraEar-TPU - CLI Mode"))
+    print(f"Frequency: {args.frequency} MHz")
+    print(f"Gain: {args.gain} dB")
+    print(f"Sample Rate: {args.sample_rate} MHz")
+
+    source = _make_source(args)
+    loop = CaptureLoop(
+        source,
+        frequency=args.frequency * 1e6,
+        sample_rate=args.sample_rate * 1e6,
+        auto_decrypt=args.auto_decrypt,
+        monitor_raw=args.monitor_audio,
+        records_dir=str(get_records_dir()) if args.record else None,
+        always_decode=bool(args.iq_file or args.synthetic),
+        afc=not args.no_afc,
+    )
+    listener = CLITetraListener(loop)
+    _load_keys(args, loop)
+
+    recorder = None
+    if args.out_jsonl:
+        recorder = JsonlFrameRecorder(args.out_jsonl)
+        prev = loop.on_frame
+
+        def on_frame(frame):
+            recorder.write(frame)
+            prev(frame)
+        loop.on_frame = on_frame
+
+    try:
+        loop.run(max_chunks=args.max_chunks)
+    except KeyboardInterrupt:
+        print(_c("yellow", "\nStopping..."))
+        loop.stop(join=False)
+    finally:
+        if recorder:
+            recorder.close()
+    print(f"Decoded {listener.frame_count} frames "
+          f"from {loop.chunks_processed} chunks")
+    return 0
+
+
+def cmd_decode(args) -> int:
+    """Offline conformance path: IQ file -> frames JSONL
+    (continuous_capture.py:17-148 shape)."""
+    import numpy as np
+    from tetraear_tpu.core.decoder import TetraDecoder
+    from tetraear_tpu.io.recorder import JsonlFrameRecorder
+    from tetraear_tpu.io.replay import FileReplaySource
+    from tetraear_tpu.models.receiver import SignalProcessor
+
+    source = FileReplaySource(args.iq_file,
+                              sample_rate=args.sample_rate * 1e6)
+    if not source.open():
+        print(_c("red", f"[FAIL] Could not open {args.iq_file}"))
+        return 1
+    processor = SignalProcessor(sample_rate=args.sample_rate * 1e6)
+    decoder = TetraDecoder(auto_decrypt=args.auto_decrypt)
+    _load_keys(args, decoder)
+
+    out_path = args.out_jsonl or (str(Path(args.iq_file).with_suffix("")) +
+                                  "_frames.jsonl")
+    chunk = args.chunk_size
+    frame_count = unencrypted = 0
+    t0 = time.time()
+    samples_total = 0
+    with JsonlFrameRecorder(out_path, include_bits=not args.no_bits) as rec:
+        while not source.exhausted:
+            samples = source.read_samples(chunk)
+            if len(samples) == 0:
+                break
+            samples_total += len(samples)
+            demod = processor.process(samples)
+            if demod is None or len(demod) < 255:
+                continue
+            for frame in decoder.decode(demod):
+                frame_count += 1
+                rec.write(frame)
+                if not frame.get("encrypted", True):
+                    unencrypted += 1
+                    text = (frame.get("decoded_text", "")
+                            or frame.get("sds_message", ""))
+                    if text and not text.startswith("[BIN"):
+                        print(f"[READABLE] Frame {frame_count}: {text[:100]}")
+    dt = time.time() - t0
+    rate = samples_total / max(dt, 1e-9)
+    print(f"[DONE] {frame_count} frames ({unencrypted} clear) from "
+          f"{samples_total} samples -> {out_path}")
+    print(f"[PERF] {rate / 1e6:.2f} MS/s through demod+decode")
+    stats = decoder.protocol_parser.get_statistics()
+    print(f"[STATS] bursts={stats['total_bursts']} "
+          f"crc_rate={stats['crc_success_rate']:.1f}%")
+    return 0
+
+
+def cmd_scan(args) -> int:
+    from tetraear_tpu.signal.scanner import FrequencyScanner
+    source = _make_source(args)
+    if not source.open():
+        print(_c("red", "[FAIL] Could not open source"))
+        return 1
+    scanner = FrequencyScanner(source, sample_rate=args.sample_rate * 1e6,
+                               scan_step=25e3,
+                               settle_s=0.0 if (args.iq_file or args.synthetic)
+                               else 0.05)
+    start, stop = args.start * 1e6, args.stop * 1e6
+    print(f"Scanning {args.start:.3f} - {args.stop:.3f} MHz...")
+    results = []
+    freq = start
+    while freq <= stop:
+        result = scanner.scan_frequency(freq)
+        if result["power_db"] > -60:
+            results.append(result)
+            print(f"  {freq / 1e6:.3f} MHz: {result['power_db']:.1f} dB"
+                  + (" *** TETRA" if result.get("is_tetra") else " *** SIGNAL"))
+        freq += 25e3
+    source.close()
+    if results:
+        results.sort(key=lambda x: x["power_db"], reverse=True)
+        best = results[0]
+        print(_c("green", f"\n[OK] Best signal: "
+                          f"{best['frequency'] / 1e6:.3f} MHz "
+                          f"({best['power_db']:.1f} dB)"))
+    else:
+        print(_c("yellow", "\n[X] No strong signals found"))
+    return 0
+
+
+def cmd_devices(_args) -> int:
+    from tetraear_tpu.io.capture import BLADERF_AVAILABLE, list_bladerf_devices
+    if not BLADERF_AVAILABLE:
+        print("bladerf module not available on this host")
+        return 1
+    devices = list_bladerf_devices()
+    if not devices:
+        print("No BladeRF devices found")
+        return 1
+    for d in devices:
+        print(f"serial={d['serial']} bus={d['usb_bus']} addr={d['usb_addr']}")
+    return 0
+
+
+def _add_common(p):
+    p.add_argument("-f", "--frequency", type=float, default=390.865,
+                   help="Frequency in MHz (default: 390.865)")
+    p.add_argument("-g", "--gain", type=float, default=50.0,
+                   help="RF gain in dB (default: 50.0)")
+    p.add_argument("-s", "--sample-rate", type=float, default=2.4,
+                   help="Sample rate in MHz (default: 2.4)")
+    p.add_argument("--iq-file", type=str, default=None,
+                   help="Replay IQ from file instead of hardware")
+    p.add_argument("--synthetic", action="store_true",
+                   help="Use a synthetic TETRA signal source")
+    p.add_argument("--auto-decrypt", action=argparse.BooleanOptionalAction,
+                   default=True, help="Enable auto-decryption")
+    p.add_argument("--key-file", type=str, default=None,
+                   help="ALG:ID:HEX key file for decryption")
+    p.add_argument("-v", "--verbose", action="store_true")
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="tetraear_tpu",
+        description="TPU-native TETRA receiver",
+        epilog="""examples:
+  tetraear_tpu listen --iq-file cap.cf32           # replay a recording
+  tetraear_tpu listen -f 392.225 --synthetic        # synthetic demo source
+  tetraear_tpu decode cap.cf32 -o frames.jsonl      # offline conformance run
+  tetraear_tpu scan 390 392 --synthetic             # band scan
+""",
+        formatter_class=argparse.RawDescriptionHelpFormatter)
+    sub = parser.add_subparsers(dest="command")
+
+    p_listen = sub.add_parser("listen", help="live/replay decode loop")
+    _add_common(p_listen)
+    p_listen.add_argument("-m", "--monitor-audio", action="store_true")
+    p_listen.add_argument("--device", type=str, default=None)
+    p_listen.add_argument("--record", action="store_true",
+                          help="record codec blocks to records/")
+    p_listen.add_argument("--loop", action="store_true",
+                          help="loop replay file")
+    p_listen.add_argument("--realtime", action="store_true",
+                          help="pace replay at capture rate")
+    p_listen.add_argument("--no-afc", action="store_true",
+                          help="disable peak-bin AFC (use for centered replays)")
+    p_listen.add_argument("--max-chunks", type=int, default=None)
+    p_listen.add_argument("-o", "--out-jsonl", type=str, default=None)
+    p_listen.add_argument("--no-gui", action="store_true",
+                          help="(compat flag; this build is always headless)")
+    p_listen.set_defaults(func=cmd_listen)
+
+    p_decode = sub.add_parser("decode", help="offline IQ file -> frames JSONL")
+    p_decode.add_argument("iq_file", type=str)
+    p_decode.add_argument("-s", "--sample-rate", type=float, default=2.4)
+    p_decode.add_argument("--auto-decrypt", action=argparse.BooleanOptionalAction,
+                          default=False)
+    p_decode.add_argument("--key-file", type=str, default=None)
+    p_decode.add_argument("--chunk-size", type=int, default=256 * 1024)
+    p_decode.add_argument("--no-bits", action="store_true",
+                          help="omit raw bits from the JSONL")
+    p_decode.add_argument("-o", "--out-jsonl", type=str, default=None)
+    p_decode.add_argument("-v", "--verbose", action="store_true")
+    p_decode.set_defaults(func=cmd_decode)
+
+    p_scan = sub.add_parser("scan", help="scan a frequency range")
+    p_scan.add_argument("start", type=float, help="start MHz")
+    p_scan.add_argument("stop", type=float, help="stop MHz")
+    _add_common(p_scan)
+    p_scan.set_defaults(func=cmd_scan)
+
+    p_dev = sub.add_parser("devices", help="list BladeRF devices")
+    p_dev.set_defaults(func=cmd_devices)
+
+    args = parser.parse_args(argv)
+    if args.command is None:
+        parser.print_help()
+        return 2
+
+    from tetraear_tpu.ui.logging_setup import get_log_dir, setup_logging
+    setup_logging(verbose=getattr(args, "verbose", False))
+    import logging
+    logging.getLogger(__name__).info("Logging to: %s", get_log_dir())
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,59 @@
+#!/usr/bin/env python3
+"""Generate recorded-IQ regression fixtures with known content.
+
+The reference repo ships no recorded IQ (SURVEY.md §4); these synthesized
+captures anchor the conformance suite and the CLI demos.
+
+Usage: python tools/make_fixture.py out.cf32 [--frames N] [--snr DB]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np  # noqa: E402
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("out", type=str)
+    ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--snr", type=float, default=None)
+    ap.add_argument("--offset-hz", type=float, default=0.0)
+    ap.add_argument("--payload", type=str, default="HELLO HELLO")
+    ap.add_argument("--seed", type=int, default=2)
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from tetraear_tpu.io.replay import save_iq
+    from tetraear_tpu.utils import synth
+
+    stream = synth.make_stream_bits(num_frames=args.frames, lead_bits=64,
+                                    seed=args.seed, golden=True,
+                                    payload=args.payload.encode())
+    syms = synth.bits_to_symbols(stream)
+    phasors = synth.synthesize_symbol_phasors(syms, mapping="ref")
+    # symbol period exactly 130 capture samples: the integer-sps grid the
+    # ref-compat chain samples on (see tests/conformance)
+    iq = synth.upsample_hold(phasors, 2.4e6, 2.4e6 / 130.0)
+    if args.offset_hz:
+        t = np.arange(len(iq)) / 2.4e6
+        iq = iq * np.exp(2j * np.pi * args.offset_hz * t)
+    if args.snr is not None:
+        rng = np.random.default_rng(args.seed)
+        std = 10 ** (-args.snr / 20) / np.sqrt(2)
+        iq = iq + std * (rng.standard_normal(len(iq))
+                         + 1j * rng.standard_normal(len(iq)))
+    save_iq(args.out, iq.astype(np.complex64), sample_rate=2.4e6,
+            center_frequency=392.5e6)
+    print(f"wrote {args.out}: {len(iq)} samples, {args.frames} golden frames")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
