@@ -458,9 +458,30 @@ class TetraDecoder:
         logger.info("Trying %d keys for frame %s", len(keys_to_try),
                     frame_data["number"])
 
+        # Native fast path: decrypt the payload under every real key in one
+        # C++ call (crypto/native.py); scoring stays in Python so results
+        # are identical.  Falls back silently to the pure-Python Feistel.
+        native_plain = {}
+        try:
+            from tetraear_tpu.crypto import native as _native
+            pairs = []
+            pair_idx = []
+            for i, item in enumerate(keys_to_try):
+                key = item[0]
+                alg = (item[2] if len(item) == 3 else algorithm) or algorithm
+                if key is not None:
+                    pairs.append((key, alg))
+                    pair_idx.append(i)
+            if pairs:
+                results = _native.bruteforce(pairs, payload_bytes)
+                if results is not None:
+                    native_plain = dict(zip(pair_idx, results))
+        except Exception:
+            native_plain = {}
+
         best_result = None
         best_score = 0
-        for item in keys_to_try:
+        for idx, item in enumerate(keys_to_try):
             if len(item) == 3:
                 key, key_desc, alg_to_use = item
             else:
@@ -469,6 +490,12 @@ class TetraDecoder:
             try:
                 if key is None:
                     decrypted_payload = payload_bytes
+                elif idx in native_plain:
+                    decrypted_payload = native_plain[idx]
+                    if decrypted_payload is None:
+                        # invalid key length — mirrors the ValueError the
+                        # Python TEADecryptor raises (key counted, not scored)
+                        continue
                 else:
                     decryptor = TEADecryptor(key, alg_to_use or algorithm)
                     decrypted_payload = decryptor.decrypt(payload_bytes)
