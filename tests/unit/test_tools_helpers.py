@@ -1,0 +1,100 @@
+"""VoiceAccumulator, text scoring, and ops-tool helpers."""
+
+import numpy as np
+
+from tetraear_tpu.audio.accumulator import VoiceAccumulator
+from tetraear_tpu.utils.textscore import (is_pure_ascii, score_readability,
+                                          score_text)
+
+
+class FakeClock:
+    def __init__(self):
+        self.t = 1000.0
+
+    def __call__(self):
+        return self.t
+
+
+class TestVoiceAccumulator:
+    def test_emits_after_three_seconds(self):
+        clock = FakeClock()
+        acc = VoiceAccumulator(clock=clock)
+        seg = np.zeros(8000)              # 1 s each
+        assert acc.add("tg1", seg) is None
+        clock.t += 0.5
+        assert acc.add("tg1", seg) is None
+        clock.t += 0.5
+        out = acc.add("tg1", seg)         # reaches 3 s -> emitted
+        assert out is not None and len(out) == 24000
+
+    def test_gap_finalizes_previous(self):
+        clock = FakeClock()
+        acc = VoiceAccumulator(clock=clock)
+        seg = np.zeros(12000)             # 1.5 s
+        assert acc.add("tg", seg) is None
+        clock.t += 5.0                    # > 3 s gap
+        out = acc.add("tg", seg)
+        assert out is not None and len(out) == 12000   # previous clip
+
+    def test_short_clips_dropped(self):
+        clock = FakeClock()
+        acc = VoiceAccumulator(clock=clock)
+        acc.add("a", np.zeros(4000))      # 0.5 s
+        clock.t += 5.0
+        out = acc.add("a", np.zeros(4000))
+        assert out is None                # finalized clip < 1 s -> dropped
+
+    def test_finalize_all(self):
+        clock = FakeClock()
+        acc = VoiceAccumulator(clock=clock)
+        acc.add("a", np.zeros(9000))
+        acc.add("b", np.zeros(4000))
+        clips = acc.finalize_all()
+        assert len(clips) == 1            # only the >= 1 s call survives
+
+    def test_independent_calls(self):
+        clock = FakeClock()
+        acc = VoiceAccumulator(clock=clock)
+        seg = np.zeros(8000)
+        acc.add("a", seg)
+        acc.add("b", seg)
+        acc.add("a", seg)
+        out = acc.add("a", seg)
+        assert out is not None and len(out) == 24000
+        assert "b" in acc.calls           # b untouched
+
+
+class TestTextScore:
+    def test_pure_ascii_accepts_normal_text(self):
+        assert is_pure_ascii("[TXT] Send units to sector seven")
+        assert not is_pure_ascii("[GSM7] ΩΔΣ garbled")
+        assert not is_pure_ascii("hi")
+        assert not is_pure_ascii("single")     # needs >= 2 words
+
+    def test_score_text_ranks_readable_higher(self):
+        good = score_text("Meet at the station at noon")
+        bad = score_text("Ω£¥Ω£¥Ω£")
+        assert good > 1.2 > bad
+
+    def test_score_readability(self):
+        assert score_readability("[TXT] Clear readable text here") >= 2.0
+        assert score_readability("@@@@@@@@@@") < 2.0
+        assert score_readability("") == 0.0
+
+
+class TestGenerateCommonKeys:
+    def test_key_count_and_format(self):
+        import importlib.util
+        from pathlib import Path
+        spec = importlib.util.spec_from_file_location(
+            "generate_common_keys",
+            Path(__file__).resolve().parents[2] / "tools"
+            / "generate_common_keys.py")
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        keys = mod.generate_keys()
+        assert len(keys) >= 150
+        for k in keys:
+            alg, kid, hexkey = k.split(":")
+            assert alg in ("TEA1", "TEA2", "TEA3")
+            bytes.fromhex(hexkey)          # valid hex
