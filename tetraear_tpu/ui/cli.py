@@ -142,6 +142,13 @@ def cmd_listen(args) -> int:
     listener = CLITetraListener(loop)
     _load_keys(args, loop)
 
+    wf_buffer = None
+    if args.waterfall:
+        from tetraear_tpu.ui.waterfall import WaterfallBuffer
+        wf_buffer = WaterfallBuffer()
+        loop.on_spectrum = lambda freqs, power: wf_buffer.update_spectrum(
+            freqs, power)
+
     recorder = None
     if args.out_jsonl:
         recorder = JsonlFrameRecorder(args.out_jsonl)
@@ -160,6 +167,11 @@ def cmd_listen(args) -> int:
     finally:
         if recorder:
             recorder.close()
+        if wf_buffer is not None and wf_buffer.history:
+            from tetraear_tpu.ui.waterfall import (render_waterfall_rgb,
+                                                   save_ppm)
+            save_ppm(args.waterfall, render_waterfall_rgb(wf_buffer))
+            print(f"Waterfall image: {args.waterfall}")
     print(f"Decoded {listener.frame_count} frames "
           f"from {loop.chunks_processed} chunks")
     return 0
@@ -308,6 +320,8 @@ def main(argv=None) -> int:
                           help="pace replay at capture rate")
     p_listen.add_argument("--no-afc", action="store_true",
                           help="disable peak-bin AFC (use for centered replays)")
+    p_listen.add_argument("--waterfall", type=str, default=None,
+                          help="write a waterfall image (PPM) on exit")
     p_listen.add_argument("--max-chunks", type=int, default=None)
     p_listen.add_argument("-o", "--out-jsonl", type=str, default=None)
     p_listen.add_argument("--no-gui", action="store_true",
