@@ -38,6 +38,7 @@ class CaptureLoop:
                  encryption_keys: Optional[list] = None,
                  records_dir: Optional[str] = None,
                  always_decode: bool = False, afc: bool = True,
+                 overlap: int = 0,
                  receiver_config: Optional[ReceiverConfig] = None):
         self.source = source
         self.frequency = frequency
@@ -53,7 +54,14 @@ class CaptureLoop:
         # peak-bin AFC (ui/modern.py:1967-1974, :2028); disable for replay of
         # already-centered recordings where the modulation peak != carrier
         self.afc = afc
+        # IQ overlap between chunks: the reference loses frames straddling
+        # chunk edges (modern.py:1915-1917 sizes chunks to make that rare);
+        # a nonzero overlap re-presents the boundary region and decoded
+        # duplicates are dropped by frame-bits hash
+        self.overlap = overlap
         self.receiver_config = receiver_config
+        self._tail = None
+        self._recent_hashes = []
 
         self.running = False
         self.pending_freq: Optional[float] = None
@@ -145,6 +153,10 @@ class CaptureLoop:
                 if samples is None or len(samples) == 0:
                     break
                 self.chunks_processed += 1
+                if self.overlap > 0:
+                    if self._tail is not None and len(self._tail) > 0:
+                        samples = np.concatenate([self._tail, samples])
+                    self._tail = samples[-self.overlap:].copy()
 
                 signal_present = False
                 afc_offset = 0.0
@@ -185,6 +197,8 @@ class CaptureLoop:
                     else:
                         frames = self.decoder.decode(demodulated)
                     for frame in frames:
+                        if self.overlap > 0 and self._is_duplicate(frame):
+                            continue
                         self.frames_decoded += 1
                         self._maybe_voice(frame)
                         self.on_frame(frame)
@@ -199,6 +213,20 @@ class CaptureLoop:
             except Exception:
                 pass
             self.on_status("Stopped")
+
+    def _is_duplicate(self, frame: dict) -> bool:
+        """Drop re-decoded frames from the overlap region (bits hash)."""
+        import hashlib
+        bits = frame.get("bits")
+        if bits is None:
+            return False
+        h = hashlib.md5(np.asarray(bits, np.uint8).tobytes()).hexdigest()
+        if h in self._recent_hashes:
+            return True
+        self._recent_hashes.append(h)
+        if len(self._recent_hashes) > 64:
+            self._recent_hashes = self._recent_hashes[-64:]
+        return False
 
     # ------------------------------------------------------------------
     def _maybe_raw_audio(self, samples: np.ndarray) -> None:

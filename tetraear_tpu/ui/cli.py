@@ -138,8 +138,17 @@ def cmd_listen(args) -> int:
         records_dir=str(get_records_dir()) if args.record else None,
         always_decode=bool(args.iq_file or args.synthetic),
         afc=not args.no_afc,
+        overlap=args.overlap,
     )
     listener = CLITetraListener(loop)
+    from tetraear_tpu.ui.session import SessionAggregator
+    session = SessionAggregator()
+    _orig_on_frame = loop.on_frame
+
+    def _frame_with_session(frame):
+        session.on_frame(frame)
+        _orig_on_frame(frame)
+    loop.on_frame = _frame_with_session
     _load_keys(args, loop)
 
     wf_buffer = None
@@ -174,6 +183,7 @@ def cmd_listen(args) -> int:
             print(f"Waterfall image: {args.waterfall}")
     print(f"Decoded {listener.frame_count} frames "
           f"from {loop.chunks_processed} chunks")
+    print(session.summary())
     return 0
 
 
@@ -322,6 +332,9 @@ def main(argv=None) -> int:
                           help="disable peak-bin AFC (use for centered replays)")
     p_listen.add_argument("--waterfall", type=str, default=None,
                           help="write a waterfall image (PPM) on exit")
+    p_listen.add_argument("--overlap", type=int, default=0,
+                          help="IQ samples of chunk overlap (recovers frames "
+                               "straddling chunk edges; duplicates deduped)")
     p_listen.add_argument("--max-chunks", type=int, default=None)
     p_listen.add_argument("-o", "--out-jsonl", type=str, default=None)
     p_listen.add_argument("--no-gui", action="store_true",
@@ -354,6 +367,20 @@ def main(argv=None) -> int:
     if args.command is None:
         parser.print_help()
         return 2
+
+    # persistent XLA compile cache removes the ~1-2 s per-shape compile cost
+    # on repeat CLI runs (CPU backend only — the remote-TPU backend's cache
+    # serialization is unreliable, see memory notes)
+    try:
+        import jax
+        if jax.default_backend() == "cpu":
+            from pathlib import Path as _P
+            cache = _P.home() / ".cache" / "tetraear_tpu_jax"
+            cache.mkdir(parents=True, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", str(cache))
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
 
     from tetraear_tpu.ui.logging_setup import get_log_dir, setup_logging
     setup_logging(verbose=getattr(args, "verbose", False))
