@@ -268,3 +268,61 @@ class TestCLI:
     def test_cli_no_command_shows_help(self):
         from tetraear_tpu.ui.cli import main
         assert main([]) == 2
+
+
+class TestMulticarrierDecode:
+    def test_three_carrier_end_to_end(self, tmp_path):
+        """Wideband fixture with distinct messages on 3 carriers -> each
+        carrier's decoder recovers its own payload (config 4 end to end)."""
+        import numpy as np
+        from tetraear_tpu.models.multicarrier import (MulticarrierDecoder,
+                                                      MulticarrierFrontend)
+        from tetraear_tpu.utils import synth
+
+        fs = 2.4e6
+        x = None
+        for seed, off in [(1, -25e3), (2, 0.0), (3, 25e3)]:
+            st = synth.make_stream_bits(
+                num_frames=4, lead_bits=64, seed=seed, golden=True,
+                payload=f"CARRIER {seed} MSG".encode()[:20])
+            syms = synth.bits_to_symbols(st)
+            ph = synth.synthesize_symbol_phasors(syms, mapping="ref")
+            iq = synth.upsample_hold(ph, fs, fs / 130.0)
+            if x is None:
+                x = np.zeros(len(iq), np.complex64)
+            t = np.arange(len(x)) / fs
+            x += (iq[:len(x)] * np.exp(2j * np.pi * off * t)
+                  ).astype(np.complex64)
+
+        mc = MulticarrierFrontend()
+        dec = MulticarrierDecoder(3, auto_decrypt=False)
+        offsets = np.array([-25e3, 0.0, 25e3], np.float32)
+        per_carrier = dec.decode(mc(x, offsets))
+        assert len(per_carrier) == 3
+        for c, frames in enumerate(per_carrier):
+            assert len(frames) >= 2, f"carrier {c}"
+            texts = {f.get("sds_message") for f in frames}
+            assert f"[TXT] CARRIER {c + 1} MSG" in texts
+            assert all(f["carrier"] == c for f in frames)
+
+    def test_decode_frontend_matches_decode(self, rng):
+        """decode_frontend on device outputs == decode on raw symbols."""
+        import numpy as np
+        from tetraear_tpu.core.decoder import TetraDecoder
+        from tetraear_tpu.utils import synth
+        stream = synth.make_stream_bits(num_frames=3, lead_bits=64, seed=2,
+                                        golden=True)
+        symbols = synth.bits_to_symbols(stream)
+        a = TetraDecoder(auto_decrypt=False).decode(symbols)
+
+        import jax.numpy as jnp
+        from tetraear_tpu.ops.sync import best_correlation
+        dec = TetraDecoder(auto_decrypt=False)
+        bits, mapped = dec.symbols_to_bits(symbols)
+        corr = np.asarray(best_correlation(
+            jnp.asarray(bits.astype(np.uint8))))
+        b = dec.decode_frontend(bits, mapped, corr)
+        assert len(a) == len(b)
+        for fa, fb in zip(a, b):
+            assert fa["type_name"] == fb["type_name"]
+            assert np.array_equal(fa["bits"], fb["bits"])

@@ -167,8 +167,28 @@ class TetraDecoder:
         bits, mapped_symbols = self.symbols_to_bits(symbols)
         if bits.size < C.SYNC_LEN_BITS:
             return []
-
         dense = _dense_sync_correlation(bits)
+        return self._decode_with_dense(bits, mapped_symbols, dense)
+
+    def decode_frontend(self, bits, mapped_symbols, best_corr) -> List[dict]:
+        """Decode from device-frontend outputs (bits + dense best-of-TS1/TS2
+        correlation), skipping the host-side correlation dispatch.
+
+        Passing (best, best) as the dense pair is exactly equivalent to the
+        per-pattern arrays for every observable of find_sync: the accept
+        condition is max-of-patterns >= threshold either way, and max_corr
+        only ever differs at positions that were accepted anyway.
+        """
+        bits = np.asarray(bits)
+        mapped_symbols = np.asarray(mapped_symbols)
+        best_corr = np.asarray(best_corr, dtype=np.float64)
+        if bits.size < C.SYNC_LEN_BITS:
+            return []
+        return self._decode_with_dense(bits, mapped_symbols,
+                                       (best_corr, best_corr))
+
+    def _decode_with_dense(self, bits, mapped_symbols, dense) -> List[dict]:
+        """Shared threshold-cascade + frame-slicing body (decoder.py:843-888)."""
         sync_positions, max_corr = self.find_sync(
             bits, threshold=0.90, return_max_corr=True, _dense=dense)
         if not sync_positions:

@@ -123,3 +123,32 @@ class MulticarrierFrontend:
         return (isinstance(other, MulticarrierFrontend)
                 and (self.config, self.num_candidates, self.threshold)
                 == (other.config, other.num_candidates, other.threshold))
+
+
+class MulticarrierDecoder:
+    """Host decode over MulticarrierResult: one stateful TetraDecoder per
+    carrier (fragmentation/network state is per-channel), fed from the
+    device bit streams + dense sync scores (no host re-correlation)."""
+
+    def __init__(self, num_carriers: int, auto_decrypt: bool = False):
+        from tetraear_tpu.core.decoder import TetraDecoder
+        self.decoders = [TetraDecoder(auto_decrypt=auto_decrypt)
+                         for _ in range(num_carriers)]
+
+    def decode(self, result: MulticarrierResult) -> list:
+        """-> list of per-carrier frame lists; frames gain a 'carrier' key."""
+        bits = np.asarray(result.bits)
+        corr = np.asarray(result.sync_corr)
+        counts = np.asarray(result.count)
+        out = []
+        for c, dec in enumerate(self.decoders):
+            nsym = max(int(counts[c]) - 1, 0)
+            nbits = 2 * nsym
+            cbits = bits[c, :nbits]
+            mapped = (cbits[0::2].astype(np.int64) << 1) | cbits[1::2]
+            ncorr = max(0, nbits - 21)
+            frames = dec.decode_frontend(cbits, mapped, corr[c, :ncorr])
+            for f in frames:
+                f["carrier"] = c
+            out.append(frames)
+        return out
