@@ -1,0 +1,114 @@
+"""Codec-tier tests: the real subprocess chain against the test-fixture
+binaries (built from native/testcodec; same I/O contract as the ETSI
+executables — SURVEY.md §4 codec tier).  Auto-builds if a compiler exists;
+skips otherwise."""
+
+import subprocess
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from tetraear_tpu.audio import blocks
+from tetraear_tpu.audio.voice import VoiceProcessor
+
+TESTCODEC_DIR = Path(__file__).resolve().parents[2] / "native" / "testcodec"
+
+
+def _ensure_built() -> bool:
+    if (TESTCODEC_DIR / "cdecoder").exists() and \
+            (TESTCODEC_DIR / "sdecoder").exists():
+        return True
+    try:
+        r = subprocess.run(["make", "-C", str(TESTCODEC_DIR)],
+                           capture_output=True, timeout=60)
+        return r.returncode == 0
+    except Exception:
+        return False
+
+
+pytestmark = [pytest.mark.codec,
+              pytest.mark.skipif(not _ensure_built(),
+                                 reason="test codec binaries unavailable")]
+
+
+@pytest.fixture()
+def vp():
+    return VoiceProcessor(codec_dir=TESTCODEC_DIR)
+
+
+class TestSubprocessChain:
+    def test_full_chain_produces_audio(self, vp, rng):
+        assert vp.working
+        bits = rng.integers(0, 2, 432)
+        audio = vp.decode_frame(blocks.block_from_hard_bits(bits))
+        assert audio.shape == (480,)                 # 2 x 240 @ 8 kHz
+        assert 0.01 < float(np.max(np.abs(audio))) <= 1.0
+
+    def test_deterministic_and_input_dependent(self, vp, rng):
+        bits = rng.integers(0, 2, 432)
+        a = vp.decode_frame(blocks.block_from_hard_bits(bits))
+        b = vp.decode_frame(blocks.block_from_hard_bits(bits))
+        np.testing.assert_array_equal(a, b)
+        c = vp.decode_frame(blocks.block_from_hard_bits(1 - bits))
+        assert not np.array_equal(a, c)
+
+    def test_soft_llr_block_decodes(self, vp, rng):
+        llrs = rng.standard_normal(432).clip(-1, 1)
+        audio = vp.decode_frame(blocks.block_from_soft_llrs(llrs))
+        assert audio.size == 480
+
+    def test_bad_header_rejected(self, vp):
+        assert vp.decode_frame(bytes(1380)).size == 0
+
+    def test_verify_codec_tool_passes(self):
+        import sys
+        repo = Path(__file__).resolve().parents[2]
+        r = subprocess.run(
+            [sys.executable, str(repo / "tools" / "verify_codec.py"),
+             "--codec-dir", str(TESTCODEC_DIR)],
+            capture_output=True, text=True, timeout=120)
+        assert r.returncode == 0, r.stdout[-1000:]
+        assert "[PASS]" in r.stdout
+
+
+class TestCaptureLoopVoice:
+    def test_voice_path_through_loop(self, tmp_path, monkeypatch):
+        """MAC-FRAG clear frames trigger the voice path and the subprocess
+        codec yields PCM through the on_voice_audio callback."""
+        monkeypatch.setenv("TETRAEAR_TPU_CODEC_DIR", str(TESTCODEC_DIR))
+        from tetraear_tpu.io.replay import FileReplaySource, save_iq
+        from tetraear_tpu.ui.capture_loop import CaptureLoop
+        from tetraear_tpu.utils import synth
+
+        # golden frames with a MAC-FRAG header (type bits 01, clear):
+        # build slots whose first 2 bits say MAC-FRAG so voice candidacy
+        # triggers (capture_loop._maybe_voice, modern.py:2104-2107)
+        rng = np.random.default_rng(4)
+        frames = []
+        for k in range(4):
+            slot = synth.make_frame_bits(seed=10 + k)
+            slot[0:2] = [0, 1]       # MAC-FRAG
+            slot[2:4] = [0, 0]       # clear
+            # low-entropy payload: random data trips the reference's
+            # entropy-implies-encrypted heuristic (decoder.py:1037-1045)
+            # and would disqualify the frame from voice candidacy
+            slot[5:108] = np.resize([1, 1, 0, 0], 103)
+            slot[122:214] = np.resize([1, 1, 0, 0], 92)
+            frames.append(slot)
+        lead = rng.integers(0, 2, 64).astype(np.uint8)
+        stream = np.concatenate([lead] + frames)
+        syms = synth.bits_to_symbols(stream)
+        ph = synth.synthesize_symbol_phasors(syms, mapping="ref")
+        iq = synth.upsample_hold(ph, 2.4e6, 2.4e6 / 130.0).astype(np.complex64)
+        path = tmp_path / "voice.cf32"
+        save_iq(path, iq, sample_rate=2.4e6)
+
+        src = FileReplaySource(path)
+        loop = CaptureLoop(src, sample_rate=2.4e6, auto_decrypt=False,
+                           always_decode=True, afc=False)
+        voice_chunks = []
+        loop.on_voice_audio = voice_chunks.append
+        loop.run(max_chunks=5)
+        assert len(voice_chunks) >= 1
+        assert all(v.size == 480 for v in voice_chunks)
