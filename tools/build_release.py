@@ -48,6 +48,7 @@ def build_wheel(out_dir: Path) -> list[Path]:
 
 
 def build_zip(out_dir: Path, version: str, wheels: list[Path]) -> Path:
+    out_dir.mkdir(parents=True, exist_ok=True)
     zip_path = out_dir / f"tetraear-tpu-{version}.zip"
     include = ["README.md", "COMPONENTS.md", "SURVEY.md", "bench.py",
                "pyproject.toml"]
