@@ -326,3 +326,33 @@ class TestMulticarrierDecode:
         for fa, fb in zip(a, b):
             assert fa["type_name"] == fb["type_name"]
             assert np.array_equal(fa["bits"], fb["bits"])
+
+
+class TestEtsiProfileEndToEnd:
+    def test_etsi_decodes_true_rate_signal_ref_cannot(self, tmp_path):
+        """Flagship capability: a true pi/4-DQPSK transmission at the real
+        18 kHz TETRA symbol rate decodes fully under the etsi profile
+        (100% CRC + SDS text) while the reference-parity chain gets
+        nothing (its truncated integer-sps clock slips, SURVEY.md §6)."""
+        from tetraear_tpu.config import ReceiverConfig
+        from tetraear_tpu.core.decoder import TetraDecoder
+        from tetraear_tpu.models.receiver import SignalProcessor
+        from tetraear_tpu.utils import synth
+
+        stream = synth.make_stream_bits(num_frames=6, lead_bits=64, seed=2,
+                                        golden=True)
+        syms = synth.bits_to_symbols(stream)
+        ph = synth.synthesize_symbol_phasors(syms, mapping="pi4")
+        iq = synth.upsample_hold(ph, 2.4e6, 18000.0).astype(np.complex64)
+
+        ref_frames = TetraDecoder(auto_decrypt=False).decode(
+            SignalProcessor().process(iq))
+        etsi_sp = SignalProcessor(config=ReceiverConfig(profile="etsi"))
+        etsi_frames = TetraDecoder(auto_decrypt=False).decode(
+            etsi_sp.process(iq))
+
+        assert len(ref_frames) == 0
+        assert len(etsi_frames) >= 4
+        assert all(f["burst_crc"] for f in etsi_frames)
+        assert all(f.get("sds_message") == "[TXT] HELLO HELLO"
+                   for f in etsi_frames)

@@ -133,7 +133,11 @@ class SignalProcessor:
         self.symbol_rate = C.SYMBOL_RATE_HZ
         self.samples_per_symbol = int(sample_rate / self.symbol_rate)
         self.symbols: np.ndarray | None = None
-        self._frontend = Frontend(base)
+        if base.profile == "etsi":
+            from tetraear_tpu.models.receiver_etsi import EtsiReceiver
+            self._frontend = EtsiReceiver(base)
+        else:
+            self._frontend = Frontend(base)
 
     # -- full pipeline ------------------------------------------------------
     def process(self, samples, freq_offset: float = 0.0) -> np.ndarray:
@@ -147,6 +151,10 @@ class SignalProcessor:
         if count < 2:
             return np.array([], dtype=np.uint8)
         return np.asarray(res.hard_symbols)[:count - 1]
+
+    def process_full(self, samples, freq_offset: float = 0.0):
+        """Full device outputs (bits/corr/soft) for pipeline consumers."""
+        return self._frontend(np.asarray(samples), freq_offset)
 
     # -- individual stages (API parity; used by tests/tools) ----------------
     def resample(self, samples, target_rate):

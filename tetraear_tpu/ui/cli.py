@@ -88,6 +88,15 @@ class CLITetraListener:
         print(f"[{ts}] #{fn:<4} {_c(color, f'{ftype:<15}')} {enc} {content}")
 
 
+def _receiver_config(args):
+    from tetraear_tpu.config import ReceiverConfig
+    profile = getattr(args, "profile", "ref-compat")
+    if profile == "ref-compat":
+        return None
+    return ReceiverConfig(profile=profile,
+                          sample_rate_hz=args.sample_rate * 1e6)
+
+
 def _make_source(args):
     from tetraear_tpu.io.replay import FileReplaySource, SyntheticSource
     if args.iq_file:
@@ -139,6 +148,7 @@ def cmd_listen(args) -> int:
         always_decode=bool(args.iq_file or args.synthetic),
         afc=not args.no_afc,
         overlap=args.overlap,
+        receiver_config=_receiver_config(args),
     )
     listener = CLITetraListener(loop)
     from tetraear_tpu.ui.session import SessionAggregator
@@ -204,7 +214,8 @@ def cmd_decode(args) -> int:
         return 1
     if args.carriers > 0:
         return _decode_multicarrier(args, source)
-    processor = SignalProcessor(sample_rate=args.sample_rate * 1e6)
+    processor = SignalProcessor(sample_rate=args.sample_rate * 1e6,
+                                config=_receiver_config(args))
     decoder = TetraDecoder(auto_decrypt=args.auto_decrypt)
     _load_keys(args, decoder)
 
@@ -348,6 +359,9 @@ def _add_common(p):
                    default=True, help="Enable auto-decryption")
     p.add_argument("--key-file", type=str, default=None,
                    help="ALG:ID:HEX key file for decryption")
+    p.add_argument("--profile", type=str, default="ref-compat",
+                   choices=["ref-exact", "ref-compat", "etsi"],
+                   help="receiver DSP profile (default: ref-compat)")
     p.add_argument("-v", "--verbose", action="store_true")
 
 
@@ -394,6 +408,8 @@ def main(argv=None) -> int:
                           default=False)
     p_decode.add_argument("--key-file", type=str, default=None)
     p_decode.add_argument("--chunk-size", type=int, default=256 * 1024)
+    p_decode.add_argument("--profile", type=str, default="ref-compat",
+                          choices=["ref-exact", "ref-compat", "etsi"])
     p_decode.add_argument("--carriers", type=int, default=0,
                           help="decode N carriers channelized from the "
                                "wideband input (25 kHz grid) instead of the "

@@ -26,6 +26,13 @@ def main() -> int:
     ap.add_argument("--offset-hz", type=float, default=0.0)
     ap.add_argument("--payload", type=str, default="HELLO HELLO")
     ap.add_argument("--seed", type=int, default=2)
+    ap.add_argument("--mapping", choices=["ref", "pi4"], default="ref",
+                    help="transition mapping: 'ref' decodes through the "
+                         "reference-parity chain; 'pi4' is true pi/4-DQPSK "
+                         "(decode with --profile etsi)")
+    ap.add_argument("--true-rate", action="store_true",
+                    help="use the real 18 kHz symbol rate (etsi profile "
+                         "territory) instead of the 130-sample ref grid")
     args = ap.parse_args()
 
     import jax
@@ -37,10 +44,12 @@ def main() -> int:
                                     seed=args.seed, golden=True,
                                     payload=args.payload.encode())
     syms = synth.bits_to_symbols(stream)
-    phasors = synth.synthesize_symbol_phasors(syms, mapping="ref")
-    # symbol period exactly 130 capture samples: the integer-sps grid the
-    # ref-compat chain samples on (see tests/conformance)
-    iq = synth.upsample_hold(phasors, 2.4e6, 2.4e6 / 130.0)
+    phasors = synth.synthesize_symbol_phasors(syms, mapping=args.mapping)
+    # default grid: symbol period exactly 130 capture samples — what the
+    # ref-compat integer-sps chain samples on (see tests/conformance);
+    # --true-rate uses the real 18 kHz TETRA rate instead
+    symbol_rate = 18000.0 if args.true_rate else 2.4e6 / 130.0
+    iq = synth.upsample_hold(phasors, 2.4e6, symbol_rate)
     if args.offset_hz:
         t = np.arange(len(iq)) / 2.4e6
         iq = iq * np.exp(2j * np.pi * args.offset_hz * t)
