@@ -29,26 +29,28 @@ def main() -> int:
     cfg = ReceiverConfig()
     num_carriers = 16
     step = cfg.decimation_factor * cfg.ref_samples_per_symbol
-    n = 8000 * step                      # 1.04 M wideband samples (~0.43 s air)
+    n = 16000 * step * 8                 # 16.64 M wideband samples (~6.9 s air)
+    num_bufs = 4                         # rotate inputs: no same-buffer reuse
 
     rng = np.random.default_rng(0)
-    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)
-         ).astype(np.complex64) * 0.1
     offsets = ((np.arange(num_carriers) - (num_carriers - 1) / 2) * 25e3
                ).astype(np.float32)
 
     mc = MulticarrierFrontend(cfg, num_candidates=64, threshold=0.80)
-    xd = jax.device_put(jnp.asarray(x))
+    xs = [jax.device_put(jnp.asarray(
+        (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+         ).astype(np.complex64) * 0.1)) for _ in range(num_bufs)]
     od = jax.device_put(jnp.asarray(offsets))
+    jax.block_until_ready(xs)
 
     # warmup / compile
-    out = mc(xd, od)
+    out = mc(xs[0], od)
     jax.block_until_ready(out)
 
-    iters = 10
+    iters = 12
     t0 = time.perf_counter()
     for i in range(iters):
-        out = mc(xd, od, start_index=0)
+        out = mc(xs[i % num_bufs], od, start_index=0)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
 
