@@ -356,3 +356,41 @@ class TestEtsiProfileEndToEnd:
         assert all(f["burst_crc"] for f in etsi_frames)
         assert all(f.get("sds_message") == "[TXT] HELLO HELLO"
                    for f in etsi_frames)
+
+
+class TestWidebandScan:
+    def test_wideband_sweep_finds_active_channel(self):
+        from tetraear_tpu.io.replay import SyntheticSource
+        from tetraear_tpu.signal.scanner import FrequencyScanner
+        src = SyntheticSource(active_frequencies=(392.5e6,), snr_db=25,
+                              frequency=392.5e6)
+        src.open()
+        scanner = FrequencyScanner(src, settle_s=0.0)
+        results = scanner.scan_wideband(392.5e6, num_samples=512 * 1024,
+                                        validate=False)
+        assert len(results) > 50                     # ~96 channels per sweep
+        by_freq = {round(r["frequency_mhz"], 3): r["power_db"]
+                   for r in results}
+        active = by_freq[392.5]
+        far = by_freq[392.2]
+        assert active > far + 10
+
+
+class TestThroughputMeter:
+    def test_meter_rates(self):
+        from tetraear_tpu.utils.metrics import ThroughputMeter
+
+        class Clock:
+            t = 0.0
+
+            def __call__(self):
+                return self.t
+        clock = Clock()
+        m = ThroughputMeter(window_s=5.0, clock=clock)
+        for _ in range(10):
+            clock.t += 0.1
+            m.record(240_000, 2)
+        r = m.rates()
+        assert abs(r["samples_per_sec"] - 240_000 / 0.1) / (240_000 / 0.1) < 0.2
+        assert m.total_frames == 20
+        assert "MS/s" in m.summary()

@@ -146,6 +146,76 @@ class FrequencyScanner:
         logger.info("Scan complete. Found %d TETRA channel(s)", len(all_found))
         return all_found
 
+    def scan_wideband(self, center_freq: float,
+                      num_samples: int = 1 << 20,
+                      channel_spacing: float = 25e3,
+                      min_power: float = -70.0,
+                      validate: bool = True) -> List[Dict]:
+        """TPU-first sweep (BASELINE config 3): ONE wideband capture covers
+        sample_rate/channel_spacing channels at once; batched FFT frames
+        give per-channel power, and candidate channels are deep-validated
+        with the channelized decode path — no per-channel retune/settle.
+
+        Returns result dicts shaped like scan_frequency's output."""
+        import jax.numpy as jnp
+        from tetraear_tpu.ops import spectrum as spec_ops
+
+        if hasattr(self.capture, "set_frequency"):
+            self.capture.set_frequency(center_freq)
+        if self.settle_s:
+            time.sleep(self.settle_s)
+        samples = self.capture.read_samples(num_samples)
+        if len(samples) < 4096:
+            return []
+
+        n_fft = 4096
+        frames = spec_ops.spectrum_frames_dbfs(jnp.asarray(samples), n_fft)
+        avg = np.asarray(frames).mean(axis=0)
+        freqs = spec_ops.fft_freqs(n_fft, self.sample_rate) + center_freq
+
+        half_span = self.sample_rate / 2 - channel_spacing
+        first = int(np.ceil((center_freq - half_span) / channel_spacing))
+        results = []
+        bins_per_chan = channel_spacing / (self.sample_rate / n_fft)
+        for k in range(first, int((center_freq + half_span)
+                                  // channel_spacing) + 1):
+            f = k * channel_spacing
+            sel = np.abs(freqs - f) <= channel_spacing / 2
+            if not np.any(sel):
+                continue
+            power_db = float(avg[sel].max())
+            entry = {"frequency": f, "frequency_mhz": f / 1e6,
+                     "power_db": power_db, "is_tetra": False,
+                     "confidence": 0.0, "signal_present":
+                     power_db > self.bottom_threshold}
+            results.append(entry)
+
+        hot = [r for r in results if r["power_db"] > min_power]
+        if validate and hot:
+            from tetraear_tpu.models.multicarrier import (
+                MulticarrierDecoder, MulticarrierFrontend)
+            offsets = np.array([r["frequency"] - center_freq for r in hot],
+                               np.float32)
+            # MulticarrierFrontend tiling contract: N % (TILE_M * decim) == 0
+            usable = (len(samples) // 5120) * 5120
+            if usable >= 5120:
+                mc = MulticarrierFrontend()
+                dec = MulticarrierDecoder(len(hot), auto_decrypt=False)
+                res = mc(np.asarray(samples[:usable], np.complex64), offsets)
+                for entry, frames_c in zip(hot, dec.decode(res)):
+                    crc_pass = sum(1 for fr in frames_c
+                                   if fr.get("burst_crc"))
+                    entry["frames_validated"] = len(frames_c) >= 2 and \
+                        crc_pass > len(frames_c) * 0.5
+                    entry["crc_pass_rate"] = crc_pass / max(len(frames_c), 1)
+                    entry["sync_detected"] = len(frames_c) > 0
+                    if entry["frames_validated"]:
+                        entry["is_tetra"] = True
+                        entry["confidence"] = max(entry["confidence"], 0.7)
+        self.found_channels = [r for r in results if r["is_tetra"]] or \
+            self.found_channels
+        return results
+
     def get_found_channels(self) -> List[Dict]:
         return self.found_channels
 

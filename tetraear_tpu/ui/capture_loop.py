@@ -68,6 +68,8 @@ class CaptureLoop:
         self.last_signal_time = 0.0
         self.chunks_processed = 0
         self.frames_decoded = 0
+        from tetraear_tpu.utils.metrics import ThroughputMeter
+        self.meter = ThroughputMeter()
 
         # callbacks
         self.on_status: Callable = lambda msg: None
@@ -196,12 +198,15 @@ class CaptureLoop:
                         frames = []
                     else:
                         frames = self.decoder.decode(demodulated)
+                    emitted = 0
                     for frame in frames:
                         if self.overlap > 0 and self._is_duplicate(frame):
                             continue
                         self.frames_decoded += 1
+                        emitted += 1
                         self._maybe_voice(frame)
                         self.on_frame(frame)
+                    self.meter.record(len(samples), emitted)
                 except Exception as e:
                     logger.debug("Decode error: %s", e)
         except Exception as e:

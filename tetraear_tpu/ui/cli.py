@@ -178,8 +178,10 @@ def cmd_listen(args) -> int:
             prev(frame)
         loop.on_frame = on_frame
 
+    from tetraear_tpu.utils.metrics import profile_trace
     try:
-        loop.run(max_chunks=args.max_chunks)
+        with profile_trace(args.trace_dir):
+            loop.run(max_chunks=args.max_chunks)
     except KeyboardInterrupt:
         print(_c("yellow", "\nStopping..."))
         loop.stop(join=False)
@@ -193,6 +195,7 @@ def cmd_listen(args) -> int:
             print(f"Waterfall image: {args.waterfall}")
     print(f"Decoded {listener.frame_count} frames "
           f"from {loop.chunks_processed} chunks")
+    print(loop.meter.summary())
     print(session.summary())
     return 0
 
@@ -308,6 +311,18 @@ def cmd_scan(args) -> int:
                                settle_s=0.0 if (args.iq_file or args.synthetic)
                                else 0.05)
     start, stop = args.start * 1e6, args.stop * 1e6
+    if args.wideband:
+        center = (start + stop) / 2
+        print(f"Wideband sweep centered {center / 1e6:.3f} MHz "
+              f"({args.sample_rate:.1f} MHz span, one capture)...")
+        results = [r for r in scanner.scan_wideband(center)
+                   if start <= r["frequency"] <= stop]
+        for r in sorted(results, key=lambda x: -x["power_db"])[:20]:
+            tag = " *** TETRA" if r.get("is_tetra") else ""
+            print(f"  {r['frequency_mhz']:.3f} MHz: "
+                  f"{r['power_db']:.1f} dB{tag}")
+        source.close()
+        return 0
     print(f"Scanning {args.start:.3f} - {args.stop:.3f} MHz...")
     results = []
     freq = start
@@ -395,6 +410,8 @@ def main(argv=None) -> int:
     p_listen.add_argument("--overlap", type=int, default=0,
                           help="IQ samples of chunk overlap (recovers frames "
                                "straddling chunk edges; duplicates deduped)")
+    p_listen.add_argument("--trace-dir", type=str, default=None,
+                          help="write a jax.profiler trace of the session")
     p_listen.add_argument("--max-chunks", type=int, default=None)
     p_listen.add_argument("-o", "--out-jsonl", type=str, default=None)
     p_listen.add_argument("--no-gui", action="store_true",
@@ -423,6 +440,9 @@ def main(argv=None) -> int:
     p_scan = sub.add_parser("scan", help="scan a frequency range")
     p_scan.add_argument("start", type=float, help="start MHz")
     p_scan.add_argument("stop", type=float, help="stop MHz")
+    p_scan.add_argument("--wideband", action="store_true",
+                        help="one wideband capture + batched FFT sweep "
+                             "instead of per-channel retuning")
     _add_common(p_scan)
     p_scan.set_defaults(func=cmd_scan)
 
