@@ -218,6 +218,11 @@ class TetraDecoder:
             frame = self.decode_frame(frame_bits, 0, frame_symbols,
                                       frame_number=current_frame_num)
             if frame:
+                # extra (non-reference) key: the absolute sync-hit bit index
+                # in this block's stream — the reference's 'position' field
+                # is always 0 on the live path (quirk); shard stitching and
+                # overlap dedup need the real offset
+                frame["sync_position"] = int(pos)
                 frames.append(frame)
                 logger.info("Decoded frame %s (type: %s)",
                             frame["number"], frame["type"])

@@ -129,6 +129,80 @@ def build_sharded_step(mesh: Mesh, cfg: ReceiverConfig | None = None,
     return run
 
 
+class ShardedReceiver:
+    """Pod-scale receive: the sharded device step plus host stitching of
+    the per-shard extended segments into a global frame stream.
+
+    Each time shard's output segment covers its interior plus halo context;
+    stitching keeps frames whose sync hit lies in the shard's owned region
+    (so every frame is emitted exactly once) and rebases frame numbers onto
+    the global bit stream.  Fragmentation state flows through one stateful
+    decoder per carrier, fed shards in time order.
+    """
+
+    def __init__(self, mesh: Mesh, cfg: ReceiverConfig | None = None,
+                 halo: int | None = None, auto_decrypt: bool = False):
+        self.mesh = mesh
+        self.cfg = cfg or ReceiverConfig()
+        step = self.cfg.decimation_factor * self.cfg.ref_samples_per_symbol
+        self.halo = halo if halo is not None else 132 * step
+        self.auto_decrypt = auto_decrypt
+        self.run = build_sharded_step(mesh, self.cfg, self.halo)
+        self._decoders = {}
+
+    def __call__(self, x, offsets) -> ShardedResult:
+        xs, offs = shard_inputs(self.mesh, x, offsets)
+        return self.run(xs, offs)
+
+    def decode(self, result: ShardedResult, t_local: int):
+        """result + per-shard input length -> list (per carrier) of frames.
+
+        t_local: wideband samples per time shard (T_total / n_time).
+        """
+        from tetraear_tpu.core.decoder import TetraDecoder
+
+        decim = self.cfg.decimation_factor
+        sps = self.cfg.ref_samples_per_symbol
+        halo_syms = (self.halo // decim) // sps
+        own_syms = (t_local // decim) // sps
+        halo_bits = 2 * halo_syms
+        own_bits = 2 * own_syms
+
+        bits_all = np.asarray(result.bits)
+        corr_all = np.asarray(result.sync_corr)
+        c_total, n_time = bits_all.shape[0], bits_all.shape[1]
+        out = []
+        for c in range(c_total):
+            dec = self._decoders.setdefault(
+                c, TetraDecoder(auto_decrypt=self.auto_decrypt))
+            frames_c = []
+            for k in range(n_time):
+                seg_bits = bits_all[c, k]
+                mapped = ((seg_bits[0::2].astype(np.int64) << 1)
+                          | seg_bits[1::2])
+                frames = dec.decode_frontend(seg_bits, mapped, corr_all[c, k])
+                base_bit = k * own_bits - halo_bits   # segment -> global
+                for f in frames:
+                    pos = f.get("sync_position")
+                    if pos is None:
+                        continue
+                    # owned region is always [halo_bits, halo_bits+own_bits):
+                    # positions below map to global < 0 on shard 0 (zero-fill
+                    # artifacts), to the neighbour's region otherwise
+                    hi = halo_bits + own_bits if k < n_time - 1 else 1 << 60
+                    if not (halo_bits <= pos < hi):
+                        continue
+                    global_start = pos - 216 + base_bit
+                    f["number"] = int(global_start // 510)
+                    f["timeslot"] = f["number"] % 4
+                    f["sync_position"] = int(pos + base_bit)
+                    f["carrier"] = c
+                    f["time_shard"] = k
+                    frames_c.append(f)
+            out.append(frames_c)
+        return out
+
+
 def shard_inputs(mesh: Mesh, x: np.ndarray, offsets: np.ndarray):
     """Device_put the inputs with the layout build_sharded_step expects."""
     xs = jax.device_put(jnp.asarray(x, jnp.complex64),
