@@ -6,63 +6,124 @@ wideband stream, demodulated, sync-correlated, CRC-checked on device).
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Baseline: the reference's pure-Python chain sustains at best ~2.4 MS/s
-(real-time single channel on a desktop core; BASELINE.md "Realized
-throughput"), so vs_baseline = samples_per_sec / 2.4e6.
+(BASELINE.md "Realized throughput"), so vs_baseline = samples_per_sec/2.4e6.
+
+Measurement integrity: on this container's remote-TPU backend,
+``jax.block_until_ready`` does NOT reliably wait for remote execution
+(dispatch-only timing can overstate throughput by orders of magnitude) and
+device-to-host reads can hang when the tunnel is degraded.  Every timed run
+here is therefore **sync-verified**: the loop ends by pulling a scalar
+digest of the final output, forcing real execution, under a watchdog.  If
+the accelerator cannot complete a verified run, the benchmark re-executes
+itself on the CPU backend and reports that (honest, smaller) number.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
+import threading
 import time
 
 import numpy as np
 
+BASELINE_SPS = 2.4e6
+WATCHDOG_S = 240.0
 
-def main() -> int:
+
+def _measure(num_carriers: int = 16, scale: int = 2, iters: int = 8):
+    """Returns (samples_per_sec, backend) or raises on failure/hang."""
     import jax
     import jax.numpy as jnp
 
     from tetraear_tpu.config import ReceiverConfig
     from tetraear_tpu.models.multicarrier import MulticarrierFrontend
 
+    backend = jax.default_backend()
     cfg = ReceiverConfig()
-    num_carriers = 16
     step = cfg.decimation_factor * cfg.ref_samples_per_symbol
-    n = 16000 * step * 8                 # 16.64 M wideband samples (~6.9 s air)
-    num_bufs = 4                         # rotate inputs: no same-buffer reuse
+    n = 8000 * step * scale
 
     rng = np.random.default_rng(0)
     offsets = ((np.arange(num_carriers) - (num_carriers - 1) / 2) * 25e3
                ).astype(np.float32)
-
     mc = MulticarrierFrontend(cfg, num_candidates=64, threshold=0.80)
     xs = [jax.device_put(jnp.asarray(
         (rng.standard_normal(n) + 1j * rng.standard_normal(n)
-         ).astype(np.complex64) * 0.1)) for _ in range(num_bufs)]
+         ).astype(np.complex64) * 0.1)) for _ in range(2)]
     od = jax.device_put(jnp.asarray(offsets))
-    jax.block_until_ready(xs)
 
-    # warmup / compile
-    out = mc(xs[0], od)
-    jax.block_until_ready(out)
+    digest_fn = jax.jit(lambda out: (out.sync_corr.sum()
+                                     + out.count.sum().astype(jnp.float32)))
 
-    iters = 12
-    t0 = time.perf_counter()
-    for i in range(iters):
-        out = mc(xs[i % num_bufs], od, start_index=0)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    def verified_run(iters_inner: int) -> float:
+        t0 = time.perf_counter()
+        out = None
+        for i in range(iters_inner):
+            out = mc(xs[i % 2], od, start_index=0)
+        # scalar digest D2H: the only reliable sync on this backend
+        result = {}
 
-    samples_per_sec = n * iters / dt
-    baseline = 2.4e6
+        def pull():
+            try:
+                result["v"] = float(digest_fn(out))
+            except Exception as e:  # pragma: no cover
+                result["err"] = e
+
+        th = threading.Thread(target=pull, daemon=True)
+        th.start()
+        th.join(WATCHDOG_S)
+        if "v" not in result:
+            raise TimeoutError(
+                result.get("err") or "verified sync timed out")
+        return time.perf_counter() - t0
+
+    _ = verified_run(1)               # warmup/compile + first sync
+    t_base = verified_run(1)          # dispatch+sync floor
+    t_full = verified_run(iters + 1)
+    work_time = max(t_full - t_base, 1e-9)
+    return n * iters / work_time, backend
+
+
+def main() -> int:
+    force_cpu = "--cpu" in sys.argv
+    if force_cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    try:
+        sps, backend = _measure()
+    except Exception as e:
+        if force_cpu:
+            print(json.dumps({"metric": "bench_failed", "value": 0,
+                              "unit": "samples/s", "vs_baseline": 0}))
+            return 1
+        # accelerator unusable -> honest CPU fallback in a fresh process
+        print(f"[bench] accelerator run failed ({type(e).__name__}: "
+              f"{str(e)[:120]}); falling back to CPU backend",
+              file=sys.stderr)
+        proc = subprocess.run([sys.executable, os.path.abspath(__file__),
+                               "--cpu"], capture_output=True, text=True,
+                              timeout=1800)
+        sys.stdout.write(proc.stdout.splitlines()[-1] + "\n"
+                         if proc.stdout.strip() else "{}\n")
+        # ensure no wedged device threads keep us alive
+        sys.stdout.flush()
+        os._exit(proc.returncode)
+
+    metric = ("iq_samples_per_sec_per_chip_16carrier_demod_decode"
+              if backend != "cpu" else
+              "iq_samples_per_sec_16carrier_demod_decode_cpu_fallback")
     print(json.dumps({
-        "metric": "iq_samples_per_sec_per_chip_16carrier_demod_decode",
-        "value": round(samples_per_sec, 1),
+        "metric": metric,
+        "value": round(sps, 1),
         "unit": "samples/s",
-        "vs_baseline": round(samples_per_sec / baseline, 2),
+        "vs_baseline": round(sps / BASELINE_SPS, 2),
     }))
-    return 0
+    sys.stdout.flush()
+    os._exit(0)                       # daemon watchdog threads may linger
 
 
 if __name__ == "__main__":

@@ -125,6 +125,72 @@ class MulticarrierFrontend:
                 == (other.config, other.num_candidates, other.threshold))
 
 
+class PfbMulticarrierFrontend:
+    """Filterbank variant (PAPERS.md technique): ONE polyphase DFT
+    filterbank channelizes the entire band — all fs/25kHz channels (96 at
+    2.4 MS/s) — then the batched demod/sync/CRC stages run over every
+    channel.  The prototype lowpass doubles as the channel filter, so the
+    separate per-carrier FIR stage disappears.
+
+    Compared to MulticarrierFrontend (DDC bank), this trades per-carrier
+    flexibility (arbitrary offsets) for full-band coverage at lower FLOPs.
+    """
+
+    def __init__(self, config: ReceiverConfig | None = None,
+                 num_candidates: int = 64, threshold: float = 0.80,
+                 taps_per_branch: int = 8):
+        self.config = config or ReceiverConfig()
+        self.num_candidates = num_candidates
+        self.threshold = threshold
+        self.taps_per_branch = taps_per_branch
+        fs = self.config.sample_rate_hz
+        self.num_channels = int(round(fs / 25e3))
+        self.decim = self.config.decimation_factor
+
+    def channel_offsets_hz(self) -> np.ndarray:
+        from tetraear_tpu.ops import pfb
+        return pfb.channel_offsets_hz(self.num_channels,
+                                      self.config.sample_rate_hz)
+
+    @functools.lru_cache(maxsize=4)
+    def _compiled(self, n: int):
+        cfg = self.config
+        k, thr = self.num_candidates, self.threshold
+        num_channels, decim, tpb = (self.num_channels, self.decim,
+                                    self.taps_per_branch)
+
+        @jax.jit
+        def run(x):
+            from tetraear_tpu.ops import pfb
+            taps = pfb.design_prototype(num_channels, tpb)
+            y = pfb.pfb_channelize(x, num_channels, decim, taps)
+            ts = timing.best_phase_pick(y, cfg.ref_samples_per_symbol)
+            hard = dqpsk.demodulate_hard(ts.symbols, profile="ref")
+            bits = dqpsk.symbols_to_bits(hard)
+            corr = sync.best_correlation(bits)
+            valid_bits = jnp.maximum(ts.count - 1, 0) * 2
+            pos, ccorr, valid, frames, crc_ok = extract_candidates(
+                bits, corr, valid_bits, k, thr)
+            return MulticarrierResult(bits, corr, ts.count, pos, ccorr,
+                                      valid, frames, crc_ok)
+        return run
+
+    def __call__(self, x) -> MulticarrierResult:
+        x = jnp.asarray(x, jnp.complex64)
+        return self._compiled(x.shape[-1])(x)
+
+    def __hash__(self):
+        return hash((self.config, self.num_candidates, self.threshold,
+                     self.taps_per_branch))
+
+    def __eq__(self, other):
+        return (isinstance(other, PfbMulticarrierFrontend)
+                and (self.config, self.num_candidates, self.threshold,
+                     self.taps_per_branch)
+                == (other.config, other.num_candidates, other.threshold,
+                    other.taps_per_branch))
+
+
 class MulticarrierDecoder:
     """Host decode over MulticarrierResult: one stateful TetraDecoder per
     carrier (fragmentation/network state is per-channel), fed from the
