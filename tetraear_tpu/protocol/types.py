@@ -3,7 +3,7 @@ tetraear/core/protocol.py:34-139)."""
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from enum import Enum
 from typing import List, Optional
 

@@ -18,7 +18,6 @@ from __future__ import annotations
 import numpy as np
 
 from tetraear_tpu import constants as C
-from tetraear_tpu.protocol.bits import symbols_to_bit_pairs
 
 _PI4_TRANSITIONS = np.array([np.pi / 4, 3 * np.pi / 4, -np.pi / 4, -3 * np.pi / 4])
 _REF_TRANSITIONS = np.array([0.0, np.pi / 2, -np.pi / 2, np.pi])
