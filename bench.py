@@ -33,37 +33,16 @@ BASELINE_SPS = 2.4e6
 WATCHDOG_S = 240.0
 
 
-def _measure(num_carriers: int = 16, scale: int = 2, iters: int = 8):
-    """Returns (samples_per_sec, backend) or raises on failure/hang."""
-    import jax
-    import jax.numpy as jnp
+def _verified_rate(step_fn, digest_fn, inputs, n: int, iters: int) -> float:
+    """Time `iters` pipeline steps ending with a scalar-digest D2H (the only
+    reliable sync on this backend) under a watchdog; returns samples/s."""
+    import time as _time
 
-    from tetraear_tpu.config import ReceiverConfig
-    from tetraear_tpu.models.multicarrier import MulticarrierFrontend
-
-    backend = jax.default_backend()
-    cfg = ReceiverConfig()
-    step = cfg.decimation_factor * cfg.ref_samples_per_symbol
-    n = 8000 * step * scale
-
-    rng = np.random.default_rng(0)
-    offsets = ((np.arange(num_carriers) - (num_carriers - 1) / 2) * 25e3
-               ).astype(np.float32)
-    mc = MulticarrierFrontend(cfg, num_candidates=64, threshold=0.80)
-    xs = [jax.device_put(jnp.asarray(
-        (rng.standard_normal(n) + 1j * rng.standard_normal(n)
-         ).astype(np.complex64) * 0.1)) for _ in range(2)]
-    od = jax.device_put(jnp.asarray(offsets))
-
-    digest_fn = jax.jit(lambda out: (out.sync_corr.sum()
-                                     + out.count.sum().astype(jnp.float32)))
-
-    def verified_run(iters_inner: int) -> float:
-        t0 = time.perf_counter()
+    def run(iters_inner):
+        t0 = _time.perf_counter()
         out = None
         for i in range(iters_inner):
-            out = mc(xs[i % 2], od, start_index=0)
-        # scalar digest D2H: the only reliable sync on this backend
+            out = step_fn(inputs[i % len(inputs)])
         result = {}
 
         def pull():
@@ -76,15 +55,71 @@ def _measure(num_carriers: int = 16, scale: int = 2, iters: int = 8):
         th.start()
         th.join(WATCHDOG_S)
         if "v" not in result:
-            raise TimeoutError(
-                result.get("err") or "verified sync timed out")
-        return time.perf_counter() - t0
+            raise TimeoutError(result.get("err") or "verified sync timed out")
+        return _time.perf_counter() - t0
 
-    _ = verified_run(1)               # warmup/compile + first sync
-    t_base = verified_run(1)          # dispatch+sync floor
-    t_full = verified_run(iters + 1)
-    work_time = max(t_full - t_base, 1e-9)
-    return n * iters / work_time, backend
+    _ = run(1)                        # warmup/compile + first sync
+    t_base = run(1)                   # dispatch+sync floor
+    t_full = run(iters + 1)
+    return n * iters / max(t_full - t_base, 1e-9)
+
+
+def _measure(num_carriers: int = 16, scale: int = 2, iters: int = 8):
+    """Returns (samples_per_sec, backend, variant) or raises.
+
+    Tries the full complex pipeline (demod+sync+candidates+CRC) first; on
+    accelerators whose runtime cannot execute complex arithmetic (see
+    CLAUDE.md), falls back to the bit-identical transcendental-free
+    real-pair pipeline (demod+sync; models/realpair.py) before giving up.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from tetraear_tpu.config import ReceiverConfig
+    from tetraear_tpu.models.multicarrier import MulticarrierFrontend
+    from tetraear_tpu.models.realpair import RealPairFrontend, mixer_table
+
+    backend = jax.default_backend()
+    cfg = ReceiverConfig()
+    step = cfg.decimation_factor * cfg.ref_samples_per_symbol
+    n = 8000 * step * scale
+    n = (n // 96) * 96                # mixer-table tiling contract
+
+    rng = np.random.default_rng(0)
+    # grid-aligned carrier set (multiples of 25 kHz) so the periodic-table
+    # mixer of the real-pair variant applies
+    offsets = ((np.arange(num_carriers) - num_carriers // 2) * 25e3
+               ).astype(np.float32)
+    xs_np = [(rng.standard_normal(n) + 1j * rng.standard_normal(n)
+              ).astype(np.complex64) * 0.1 for _ in range(2)]
+
+    # --- attempt 1: complex pipeline ------------------------------------
+    try:
+        mc = MulticarrierFrontend(cfg, num_candidates=64, threshold=0.80)
+        xs = [jax.device_put(jnp.asarray(x)) for x in xs_np]
+        od = jax.device_put(jnp.asarray(offsets))
+        digest = jax.jit(lambda out: (out.sync_corr.sum()
+                                      + out.count.sum().astype(jnp.float32)))
+        rate = _verified_rate(lambda x: mc(x, od, start_index=0), digest,
+                              xs, n, iters)
+        return rate, backend, "demod_decode"
+    except Exception as e:
+        if backend == "cpu":
+            raise
+        print(f"[bench] complex pipeline failed on {backend} "
+              f"({str(e)[:80]}); trying real-pair variant", file=sys.stderr)
+
+    # --- attempt 2: real-pair pipeline (no complex, no transcendentals) --
+    rp = RealPairFrontend(cfg)
+    table = jax.device_put(jnp.asarray(
+        mixer_table(offsets, cfg.sample_rate_hz)))
+    fn = rp._compiled(n, num_carriers)
+    xs_ri = [jax.device_put(jnp.asarray(
+        np.stack([x.real, x.imag]).astype(np.float32))) for x in xs_np]
+    digest = jax.jit(lambda out: (out.sync_corr.sum()
+                                  + out.count.sum().astype(jnp.float32)))
+    rate = _verified_rate(lambda x: fn(x, table), digest, xs_ri, n, iters)
+    return rate, backend, "demod_sync_realpair"
 
 
 def main() -> int:
@@ -94,7 +129,7 @@ def main() -> int:
         jax.config.update("jax_platforms", "cpu")
 
     try:
-        sps, backend = _measure()
+        sps, backend, variant = _measure()
     except Exception as e:
         if force_cpu:
             print(json.dumps({"metric": "bench_failed", "value": 0,
@@ -113,9 +148,10 @@ def main() -> int:
         sys.stdout.flush()
         os._exit(proc.returncode)
 
-    metric = ("iq_samples_per_sec_per_chip_16carrier_demod_decode"
-              if backend != "cpu" else
-              "iq_samples_per_sec_16carrier_demod_decode_cpu_fallback")
+    if backend != "cpu":
+        metric = f"iq_samples_per_sec_per_chip_16carrier_{variant}"
+    else:
+        metric = "iq_samples_per_sec_16carrier_demod_decode_cpu_fallback"
     print(json.dumps({
         "metric": metric,
         "value": round(sps, 1),

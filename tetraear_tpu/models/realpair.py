@@ -1,0 +1,158 @@
+"""Transcendental-free, complex-free multi-carrier pipeline.
+
+Functionally equivalent to MulticarrierFrontend for carriers on the
+25 kHz grid, built from a restricted op vocabulary: multiply/add, strided
+real convolutions, reshapes, reductions, comparisons.  Motivations:
+
+1. **Speed of light**: no cos/sin/atan2 on the VPU hot path.  The mixer
+   exploits that every 25 kHz-grid oscillator at fs = 2.4 MS/s is periodic
+   in fs/spacing = 96 samples, so mixing is a broadcast multiply against a
+   tiny host-precomputed (C, 96) table; the DQPSK quantizer runs as sector
+   sign/slope comparisons on z = s[n]*conj(s[n-1]) real/imag parts
+   (ops/dqpsk.quantize_z_ref).
+2. **Backend robustness**: this container's remote-TPU backend cannot
+   execute complex arithmetic or transcendentals (see memory notes /
+   CLAUDE.md); this pipeline gives the benchmark a genuinely-executable
+   TPU path when the tunnel is healthy.
+
+Everything is (2, ...)-stacked real float32: index 0 = real, 1 = imag.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tetraear_tpu.config import ReceiverConfig
+from tetraear_tpu.ops import dqpsk, fir, sync
+from tetraear_tpu.ops.fir import _conv1d_real
+
+
+class RealPairResult(NamedTuple):
+    bits: jnp.ndarray        # (C, B) uint8
+    sync_corr: jnp.ndarray   # (C, B-21) float32
+    count: jnp.ndarray       # (C,) int32
+    best_phase: jnp.ndarray  # (C,) int32
+
+
+@functools.lru_cache(maxsize=None)
+def _mixer_table(num_carriers_key, sample_rate: float, spacing: float,
+                 offsets_bytes: bytes) -> np.ndarray:
+    offsets = np.frombuffer(offsets_bytes, np.float32)
+    period = int(round(sample_rate / spacing))
+    n = np.arange(period)
+    ph = -2.0 * np.pi * offsets[:, None] * n[None, :] / sample_rate
+    return np.stack([np.cos(ph), np.sin(ph)], axis=0).astype(np.float32)
+
+
+def mixer_table(offsets_hz: np.ndarray, sample_rate: float,
+                spacing: float = 25e3) -> np.ndarray:
+    """(2, C, period) cos/sin table; requires offsets on the spacing grid."""
+    offsets = np.asarray(offsets_hz, np.float32)
+    assert np.allclose(offsets % spacing, 0) or \
+        np.allclose((offsets % spacing) - spacing, 0, atol=1e-3), \
+        "offsets must lie on the channel grid"
+    return _mixer_table(len(offsets), float(sample_rate), float(spacing),
+                        offsets.tobytes())
+
+
+def _realpair_block(x_ri: jnp.ndarray, table: jnp.ndarray,
+                    cfg: ReceiverConfig):
+    """x_ri: (2, N) f32; table: (2, C, P) f32 -> RealPairResult."""
+    n = x_ri.shape[-1]
+    period = table.shape[-1]
+    assert n % period == 0
+    decim = cfg.decimation_factor
+    sps = cfg.ref_samples_per_symbol
+
+    # --- mix via the periodic table: broadcast over N/period tiles --------
+    xt = x_ri.reshape(2, 1, n // period, period)
+    oc = table[0][None, :, None, :]          # cos, (1, C, 1, P)
+    osn = table[1][None, :, None, :]         # sin
+    xr, xi = xt[0:1], xt[1:2]
+    mr = (xr * oc - xi * osn)[0].reshape(-1, n)          # (C, N)
+    mi = (xr * osn + xi * oc)[0].reshape(-1, n)
+
+    # --- decimating FIR + channel FIR (real convs) ------------------------
+    taps_d = jnp.asarray(fir.design_decimation_fir(
+        decim, cfg.decim_fir_taps_per_phase))
+    g1 = (taps_d.shape[0] - 1) // 2
+    yr = _conv1d_real(mr, taps_d, decim, (g1, g1))
+    yi = _conv1d_real(mi, taps_d, decim, (g1, g1))
+    cutoff = (cfg.channel_bandwidth_hz / 2) / (cfg.intermediate_rate_hz / 2)
+    taps_c = jnp.asarray(fir.design_channel_fir(cfg.channel_fir_taps, cutoff))
+    g2 = (taps_c.shape[0] - 1) // 2
+    yr = _conv1d_real(yr, taps_c, 1, (g2, g2))
+    yi = _conv1d_real(yi, taps_c, 1, (g2, g2))
+
+    # --- best-phase timing: reshape power sums (no gather) ----------------
+    m_dec = yr.shape[-1]
+    m = m_dec // sps
+    pr = (yr[:, :m * sps] ** 2 + yi[:, :m * sps] ** 2)
+    phase_power = pr.reshape(-1, m, sps).sum(axis=1)      # (C, sps)
+    best = jnp.argmax(phase_power, axis=-1).astype(jnp.int32)
+    count = ((m_dec - best) // sps).astype(jnp.int32)
+
+    # extract symbols at the chosen phase: one-hot matmul over the sps axis
+    # (gather-free: grid[c, k, p] dotted with onehot(best[c]))
+    m_cap = (m_dec - (sps - 1) - 1) // sps + 1
+    grid_r = yr[:, :m_cap * sps + (sps - 1)]
+    # build (C, m_cap, sps) frames offset by phase p via stacked slices
+    fr = jnp.stack([grid_r[:, p:p + m_cap * sps:sps]
+                    for p in range(sps)], axis=-1)        # (C, m_cap, sps)
+    grid_i = yi[:, :m_cap * sps + (sps - 1)]
+    fi = jnp.stack([grid_i[:, p:p + m_cap * sps:sps]
+                    for p in range(sps)], axis=-1)
+    onehot = jax.nn.one_hot(best, sps, dtype=jnp.float32)  # (C, sps)
+    sym_r = jnp.einsum("cmp,cp->cm", fr, onehot)
+    sym_i = jnp.einsum("cmp,cp->cm", fi, onehot)
+
+    # --- differential + sector quantizer (no atan2) -----------------------
+    zr = sym_r[:, 1:] * sym_r[:, :-1] + sym_i[:, 1:] * sym_i[:, :-1]
+    zi = sym_i[:, 1:] * sym_r[:, :-1] - sym_r[:, 1:] * sym_i[:, :-1]
+    hard = dqpsk.quantize_z_ref(zr, zi)
+    bits = dqpsk.symbols_to_bits(hard)
+    corr = sync.best_correlation(bits)
+    return RealPairResult(bits, corr, count, best)
+
+
+class RealPairFrontend:
+    """Grid-locked, transcendental/complex-free multicarrier frontend."""
+
+    def __init__(self, config: ReceiverConfig | None = None,
+                 spacing_hz: float = 25e3):
+        self.config = config or ReceiverConfig()
+        self.spacing_hz = spacing_hz
+
+    @functools.lru_cache(maxsize=8)
+    def _compiled(self, n: int, c: int):
+        cfg = self.config
+
+        @jax.jit
+        def run(x_ri, table):
+            return _realpair_block(x_ri, table, cfg)
+        return run
+
+    def __call__(self, x, offsets_hz) -> RealPairResult:
+        offsets = np.asarray(offsets_hz, np.float32)
+        table = jnp.asarray(mixer_table(offsets, self.config.sample_rate_hz,
+                                        self.spacing_hz))
+        x = np.asarray(x)
+        if np.iscomplexobj(x):
+            x_ri = jnp.asarray(np.stack([x.real, x.imag]).astype(np.float32))
+        else:
+            x_ri = jnp.asarray(x, jnp.float32)
+        fn = self._compiled(x_ri.shape[-1], len(offsets))
+        return fn(x_ri, table)
+
+    def __hash__(self):
+        return hash((self.config, self.spacing_hz))
+
+    def __eq__(self, other):
+        return (isinstance(other, RealPairFrontend)
+                and (self.config, self.spacing_hz)
+                == (other.config, other.spacing_hz))

@@ -62,6 +62,40 @@ def quantize_phase_etsi(dphi: jnp.ndarray) -> jnp.ndarray:
 # backward-compatible alias: the "reference bins" quantizer
 quantize_phase = quantize_phase_ref
 
+# tan(3pi/8) = 1 + sqrt(2); tan(pi/8) = sqrt(2) - 1
+_T38 = 1.0 + np.sqrt(2.0)
+_T18 = np.sqrt(2.0) - 1.0
+
+
+def quantize_z_ref(zr: jnp.ndarray, zi: jnp.ndarray) -> jnp.ndarray:
+    """Reference-bin quantizer directly from z = x[n]*conj(x[n-1]) real/imag
+    parts — sector comparisons instead of atan2 (transcendental-free; also
+    the path for backends without complex support):
+
+        bin 0: |phi| <  3pi/8  <=>  zr > 0  and |zi| <= zr*tan(3pi/8)
+        bin 1: |phi - pi/2| < pi/8  <=>  zi > 0 and |zr| < zi*tan(pi/8)
+        bin 2: |phi + pi/2| < pi/8  <=>  zi < 0 and |zr| < -zi*tan(pi/8)
+        bin 3: otherwise (the reference's wrap-to-3 behavior included)
+    """
+    azr = jnp.abs(zr)
+    azi = jnp.abs(zi)
+    s0 = (zr > 0) & (azi <= zr * _T38)
+    s1 = (zi > 0) & (azr < zi * _T18)
+    s2 = (zi < 0) & (azr < -zi * _T18)
+    sym = jnp.full(zr.shape, 3, jnp.uint8)
+    sym = jnp.where(s2, jnp.uint8(2), sym)
+    sym = jnp.where(s1, jnp.uint8(1), sym)
+    sym = jnp.where(s0, jnp.uint8(0), sym)
+    return sym
+
+
+def quantize_z_etsi(zr: jnp.ndarray, zi: jnp.ndarray) -> jnp.ndarray:
+    """Maximum-margin quantizer from z parts: boundaries at {0, +-pi/2, pi}
+    reduce to pure sign tests (msb = zi<0, lsb = zr<0)."""
+    msb = (zi < 0).astype(jnp.uint8)
+    lsb = (zr < 0).astype(jnp.uint8)
+    return (msb * 2 + lsb).astype(jnp.uint8)
+
 
 def demodulate_hard(symbols: jnp.ndarray, profile: str = "ref") -> jnp.ndarray:
     """Hard-decision demod: complex symbol stream -> uint8 dibits (len N-1).
