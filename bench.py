@@ -93,33 +93,42 @@ def _measure(num_carriers: int = 16, scale: int = 2, iters: int = 8):
     xs_np = [(rng.standard_normal(n) + 1j * rng.standard_normal(n)
               ).astype(np.complex64) * 0.1 for _ in range(2)]
 
-    # --- attempt 1: complex pipeline ------------------------------------
-    try:
+    digest = jax.jit(lambda out: (out.sync_corr.sum()
+                                  + out.count.sum().astype(jnp.float32)))
+
+    def run_complex():
         mc = MulticarrierFrontend(cfg, num_candidates=64, threshold=0.80)
         xs = [jax.device_put(jnp.asarray(x)) for x in xs_np]
         od = jax.device_put(jnp.asarray(offsets))
-        digest = jax.jit(lambda out: (out.sync_corr.sum()
-                                      + out.count.sum().astype(jnp.float32)))
-        rate = _verified_rate(lambda x: mc(x, od, start_index=0), digest,
+        return _verified_rate(lambda x: mc(x, od, start_index=0), digest,
                               xs, n, iters)
-        return rate, backend, "demod_decode"
+
+    def run_realpair():
+        rp = RealPairFrontend(cfg)
+        table = jax.device_put(jnp.asarray(
+            mixer_table(offsets, cfg.sample_rate_hz)))
+        fn = rp._compiled(n, num_carriers)
+        xs_ri = [jax.device_put(jnp.asarray(
+            np.stack([x.real, x.imag]).astype(np.float32)))
+            for x in xs_np]
+        return _verified_rate(lambda x: fn(x, table), digest, xs_ri, n,
+                              iters)
+
+    if backend == "cpu":
+        # both variants work on CPU: report the faster, correctly labeled
+        # (realpair covers demod+sync; complex adds on-device candidates+CRC)
+        r_complex = run_complex()
+        r_pair = run_realpair()
+        if r_pair > r_complex:
+            return r_pair, backend, "demod_sync_realpair"
+        return r_complex, backend, "demod_decode"
+
+    try:
+        return run_complex(), backend, "demod_decode"
     except Exception as e:
-        if backend == "cpu":
-            raise
         print(f"[bench] complex pipeline failed on {backend} "
               f"({str(e)[:80]}); trying real-pair variant", file=sys.stderr)
-
-    # --- attempt 2: real-pair pipeline (no complex, no transcendentals) --
-    rp = RealPairFrontend(cfg)
-    table = jax.device_put(jnp.asarray(
-        mixer_table(offsets, cfg.sample_rate_hz)))
-    fn = rp._compiled(n, num_carriers)
-    xs_ri = [jax.device_put(jnp.asarray(
-        np.stack([x.real, x.imag]).astype(np.float32))) for x in xs_np]
-    digest = jax.jit(lambda out: (out.sync_corr.sum()
-                                  + out.count.sum().astype(jnp.float32)))
-    rate = _verified_rate(lambda x: fn(x, table), digest, xs_ri, n, iters)
-    return rate, backend, "demod_sync_realpair"
+    return run_realpair(), backend, "demod_sync_realpair"
 
 
 def main() -> int:
@@ -151,7 +160,7 @@ def main() -> int:
     if backend != "cpu":
         metric = f"iq_samples_per_sec_per_chip_16carrier_{variant}"
     else:
-        metric = "iq_samples_per_sec_16carrier_demod_decode_cpu_fallback"
+        metric = f"iq_samples_per_sec_16carrier_{variant}_cpu_fallback"
     print(json.dumps({
         "metric": metric,
         "value": round(sps, 1),
