@@ -33,7 +33,16 @@ _LAZY = {
     "VoiceProcessor": "tetraear_tpu.audio.voice",
     "TetraSignalDetector": "tetraear_tpu.signal.detector",
     "FrequencyScanner": "tetraear_tpu.signal.scanner",
+    "BladeRFCapture": "tetraear_tpu.io.capture",
+    "FileReplaySource": "tetraear_tpu.io.replay",
 }
+
+# reference facade exports (tetraear/__init__.py:37-47) plus TPU additions
+__all__ = ["TetraDecoder", "TEADecryptor", "TetraKeyManager",
+           "TetraProtocolParser", "SignalProcessor", "BladeRFCapture",
+           "TetraSignalDetector", "VoiceProcessor", "FrequencyScanner",
+           "TetraSignalValidator", "FileReplaySource", "ReceiverConfig",
+           "DecoderConfig"]
 
 
 def __getattr__(name):
