@@ -242,3 +242,117 @@ class TestValidatorAB:
         for f in frames:
             assert mine.validate_frame(dict(f)) == theirs.validate_frame(dict(f))
         assert mine.get_statistics() == theirs.get_statistics()
+
+
+class TestEndToEndAB:
+    """The BASELINE acceptance criterion, literally: identical IQ through
+    both complete stacks (DSP + decode) -> identical frame output."""
+
+    def _run_both(self, iq, freq_offset=0.0, auto_decrypt=False):
+        mine_sp = SignalProcessor(config=ReceiverConfig(profile="ref-exact"))
+        ref_sp = RefProcessor(sample_rate=2.4e6)
+        a_sym = mine_sp.process(iq.copy(), freq_offset=freq_offset)
+        b_sym = ref_sp.process(iq.copy(), freq_offset=freq_offset)
+        a = TetraDecoder(auto_decrypt=auto_decrypt).decode(a_sym)
+        b = RefDecoder(auto_decrypt=auto_decrypt).decode(b_sym)
+        return a, b, a_sym, b_sym
+
+    def test_golden_capture_bit_exact_frames(self):
+        stream = synth.make_stream_bits(num_frames=5, lead_bits=64, seed=2,
+                                        golden=True)
+        syms = synth.bits_to_symbols(stream)
+        phasors = synth.synthesize_symbol_phasors(syms, mapping="ref")
+        iq = synth.upsample_hold(phasors, 2.4e6, 2.4e6 / 130.0
+                                 ).astype(np.complex64)
+        a, b, a_sym, b_sym = self._run_both(iq)
+        assert (a_sym == b_sym).mean() >= 0.999
+        assert len(a) == len(b) and len(a) >= 3
+        for fa, fb in zip(a, b):
+            assert _strip_volatile(fa) == _strip_volatile(fb)
+
+    def test_noisy_capture_with_offset(self):
+        stream = synth.make_stream_bits(num_frames=5, lead_bits=64, seed=7,
+                                        golden=True)
+        syms = synth.bits_to_symbols(stream)
+        phasors = synth.synthesize_symbol_phasors(syms, mapping="ref")
+        iq = synth.upsample_hold(phasors, 2.4e6, 2.4e6 / 130.0)
+        rng = np.random.default_rng(8)
+        t = np.arange(len(iq)) / 2.4e6
+        iq = iq * np.exp(2j * np.pi * 2e3 * t)
+        iq = (iq + 0.05 * (rng.standard_normal(len(iq))
+                           + 1j * rng.standard_normal(len(iq)))
+              ).astype(np.complex64)
+        a, b, a_sym, b_sym = self._run_both(iq, freq_offset=2e3)
+        agree = (a_sym == b_sym).mean()
+        assert agree >= 0.995, agree
+        assert len(a) == len(b)
+        for fa, fb in zip(a, b):
+            assert _strip_volatile(fa) == _strip_volatile(fb)
+
+    def test_auto_decrypt_end_to_end(self):
+        stream = synth.make_stream_bits(
+            num_frames=3, lead_bits=64, seed=5, golden=True,
+            payload=bytes(range(1, 13)))
+        syms = synth.bits_to_symbols(stream)
+        phasors = synth.synthesize_symbol_phasors(syms, mapping="ref")
+        iq = synth.upsample_hold(phasors, 2.4e6, 2.4e6 / 130.0
+                                 ).astype(np.complex64)
+        a, b, _, _ = self._run_both(iq, auto_decrypt=True)
+        assert len(a) == len(b)
+        for fa, fb in zip(a, b):
+            assert _strip_volatile(fa) == _strip_volatile(fb)
+
+
+class TestAuxAB:
+    def test_symbols_to_bits_8psk_fold(self, rng):
+        mine = TetraDecoder(auto_decrypt=False)
+        theirs = RefDecoder(auto_decrypt=False)
+        for _ in range(5):
+            syms = rng.integers(0, 8, 200)
+            a_bits, a_map = mine.symbols_to_bits(syms.copy())
+            b_bits, b_map = theirs.symbols_to_bits(syms.copy())
+            np.testing.assert_array_equal(a_bits, b_bits)
+            np.testing.assert_array_equal(a_map, b_map)
+
+    def test_set_keys_parsing(self):
+        mine = TetraDecoder(auto_decrypt=True)
+        theirs = RefDecoder(auto_decrypt=True)
+        keys = ["00112233445566778899",
+                "0123456789ABCDEF0123456789ABCDEF",
+                "00" * 32, "AB:CD:EF", "zz"]
+        mine.set_keys(keys)
+        theirs.set_keys(keys)
+        assert mine.user_keys == theirs.user_keys
+
+    def test_detector_analysis_fields(self, rng):
+        from tetraear.signal.scanner import TetraSignalDetector as RefDet
+        from tetraear_tpu.signal.detector import TetraSignalDetector
+        x = synth.synthesize_iq(rng.integers(0, 4, 2000), snr_db=20, seed=3)
+        a = TetraSignalDetector().analyze_signal(x.copy())
+        b = RefDet().analyze_signal(x.copy())
+        assert abs(a["power_db"] - b["power_db"]) < 1e-3
+        assert abs(a["modulation_confidence"]
+                   - b["modulation_confidence"]) < 1e-3
+        assert abs(a["sync_correlation"] - b["sync_correlation"]) < 1e-6
+        assert a["sync_detected"] == b["sync_detected"]
+        assert a["power_stable"] == b["power_stable"]
+
+    def test_location_parser(self):
+        from tetraear.core.location import LocationParser as RefLoc
+        from tetraear_tpu.core.location import LocationParser
+        texts = ["Lat: 52.24170 Lon: 21.00830",
+                 "52°14'30\"N 21°00'30\"E",
+                 "N52.2417 E021.0083", "no coords here"]
+        for t in texts:
+            assert (LocationParser.parse_coordinates(t)
+                    == RefLoc.parse_coordinates(t))
+        data = bytes([0x00]) + (1234567).to_bytes(3, "big") \
+            + (654321).to_bytes(3, "big") + bytes(4)
+        assert (LocationParser.parse_lip_message(data)
+                == RefLoc.parse_lip_message(data))
+
+    def test_mcc_lookup(self):
+        from tetraear.core.mcc_mnc import get_country_from_mcc as ref_cc
+        from tetraear_tpu.core.mcc_mnc import get_country_from_mcc
+        for mcc in ("260", "262", "310", "999", "208"):
+            assert get_country_from_mcc(mcc) == ref_cc(mcc)

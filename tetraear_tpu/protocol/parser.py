@@ -199,18 +199,24 @@ class TetraProtocolParser:
             pos = 4
             if broadcast_type == 0:  # SYSINFO: MCC(10) MNC(14) CC(6)
                 if len(bits) >= pos + 30:
-                    mcc = bits_to_uint(bits[pos:pos + 10])
-                    mnc = bits_to_uint(bits[pos + 10:pos + 24])
-                    cc = bits_to_uint(bits[pos + 24:pos + 30])
-                    # ITU-T E.212 sanity gate (protocol.py:487-494)
-                    if mcc < 200 or mcc > 799:
-                        logger.debug("Invalid MCC %d in SYNC - not real TETRA", mcc)
+                    # QUIRK (protocol.py:483-494): parser state is assigned
+                    # BEFORE the ITU-T E.212 sanity gate, so invalid values
+                    # poison self.mcc/mnc even when the PDU is rejected —
+                    # later frames' call metadata inherits them.  The
+                    # sibling _parse_broadcast validates first.
+                    self.mcc = bits_to_uint(bits[pos:pos + 10])
+                    self.mnc = bits_to_uint(bits[pos + 10:pos + 24])
+                    self.colour_code = bits_to_uint(bits[pos + 24:pos + 30])
+                    if self.mcc < 200 or self.mcc > 799:
+                        logger.debug("Invalid MCC %d in SYNC - not real TETRA",
+                                     self.mcc)
                         return None
-                    if mnc > 999:
-                        logger.debug("Invalid MNC %d in SYNC - not real TETRA", mnc)
+                    if self.mnc > 999:
+                        logger.debug("Invalid MNC %d in SYNC - not real TETRA",
+                                     self.mnc)
                         return None
-                    self.mcc, self.mnc, self.colour_code = mcc, mnc, cc
-                    logger.info("Valid TETRA SYNC: MCC=%d MNC=%d", mcc, mnc)
+                    logger.info("Valid TETRA SYNC: MCC=%d MNC=%d",
+                                self.mcc, self.mnc)
                 else:
                     return None
             data_bytes = bits_to_bytes(bits[pos:])
