@@ -356,3 +356,72 @@ class TestAuxAB:
         from tetraear_tpu.core.mcc_mnc import get_country_from_mcc
         for mcc in ("260", "262", "310", "999", "208"):
             assert get_country_from_mcc(mcc) == ref_cc(mcc)
+
+
+class TestVoiceAB:
+    def test_voice_processor_identical_pcm(self, rng):
+        """Same codec binaries + same block -> byte-identical PCM through
+        both subprocess wrappers (uses the contract-exact test codec)."""
+        testcodec = Path(__file__).resolve().parents[2] / "native" / "testcodec"
+        if not (testcodec / "cdecoder").exists():
+            pytest.skip("test codec not built")
+        from tetraear.audio.voice import VoiceProcessor as RefVoice
+        from tetraear_tpu.audio.blocks import block_from_hard_bits
+        from tetraear_tpu.audio.voice import VoiceProcessor
+
+        mine = VoiceProcessor(codec_dir=testcodec)
+        # the reference defaults to .exe names; pass explicit Linux paths
+        theirs = RefVoice(cdecoder_path=testcodec / "cdecoder",
+                          sdecoder_path=testcodec / "sdecoder")
+        assert mine.working and theirs.working
+        for seed in range(3):
+            bits = np.random.default_rng(seed).integers(0, 2, 432)
+            block = block_from_hard_bits(bits)
+            a = mine.decode_frame(block)
+            b = theirs.decode_frame(block)
+            np.testing.assert_array_equal(a, b)
+        # invalid inputs rejected identically
+        assert mine.decode_frame(bytes(1380)).size == \
+            theirs.decode_frame(bytes(1380)).size == 0
+        assert mine.decode_frame(b"x").size == theirs.decode_frame(b"x").size
+
+
+class TestScannerAB:
+    def test_scan_frequency_identical_analysis(self):
+        """Same fake capture source through both scanners -> same analysis
+        dict fields (detector + gates)."""
+        from tetraear.signal.scanner import FrequencyScanner as RefScanner
+        from tetraear_tpu.signal.scanner import FrequencyScanner
+
+        class FakeSource:
+            sdr = None
+
+            def __init__(self):
+                rng = np.random.default_rng(0)
+                syms = rng.integers(0, 4, 3000)
+                self._x = synth.synthesize_iq(syms, snr_db=22, seed=4)
+
+            def set_frequency(self, f):
+                self.frequency = f
+
+            def read_samples(self, n):
+                return self._x[:n]
+
+        mine = FrequencyScanner(FakeSource(), settle_s=0.0)
+        theirs = RefScanner(FakeSource())
+        import time as _time
+        sleep = _time.sleep
+        _time.sleep = lambda s: None        # skip the reference's PLL settle
+        try:
+            a = mine.scan_frequency(392.5e6, dwell_time=0.05)
+            b = theirs.scan_frequency(392.5e6, dwell_time=0.05)
+        finally:
+            _time.sleep = sleep
+        for key in ("frequency", "frequency_mhz", "sync_detected",
+                    "power_stable", "signal_present"):
+            assert a[key] == b[key], key
+        assert abs(a["power_db"] - b["power_db"]) < 1e-3
+        assert abs(a["modulation_confidence"]
+                   - b["modulation_confidence"]) < 1e-3
+        assert abs(a["sync_correlation"] - b["sync_correlation"]) < 1e-6
+        assert a["is_tetra"] == b["is_tetra"]
