@@ -103,8 +103,11 @@ def _measure(num_carriers: int = 16, scale: int = 2, iters: int = 8):
         return _verified_rate(lambda x: mc(x, od, start_index=0), digest,
                               xs, n, iters)
 
-    def run_realpair():
-        rp = RealPairFrontend(cfg)
+    def run_realpair(k: int = 0):
+        # k>0 appends the on-device candidates+CRC stage: the FULL decode
+        # compute (same as run_complex) in the complex/transcendental-free
+        # op vocabulary.  k=0 is the demod+sync-only reduced program.
+        rp = RealPairFrontend(cfg, num_candidates=k, threshold=0.80)
         table = jax.device_put(jnp.asarray(
             mixer_table(offsets, cfg.sample_rate_hz)))
         fn = rp._compiled(n, num_carriers)
@@ -114,21 +117,56 @@ def _measure(num_carriers: int = 16, scale: int = 2, iters: int = 8):
         return _verified_rate(lambda x: fn(x, table), digest, xs_ri, n,
                               iters)
 
+    def run_single():
+        # Single-carrier Frontend on CLI-sized blocks: the same program
+        # class as the offline decode path, which has been observed to
+        # execute on this backend in windows where the larger 16-carrier
+        # programs fail.  Directly comparable to the baseline (the
+        # reference is also single-channel at 2.4 MS/s).
+        from tetraear_tpu.models.receiver import Frontend
+        fe = Frontend(cfg)
+        n_s = 2048 * step              # ~266k samples, CLI chunk scale
+        fn = fe._compiled(n_s, False)
+        xs_s = [jax.device_put(jnp.asarray(x[:n_s])) for x in xs_np]
+        zero = jnp.float32(0.0)
+        return _verified_rate(lambda x: fn(x, zero), digest, xs_s, n_s,
+                              iters * 4)
+
     if backend == "cpu":
-        # both variants work on CPU: report the faster, correctly labeled
-        # (realpair covers demod+sync; complex adds on-device candidates+CRC)
+        # both variants run the FULL decode compute on CPU: report the
+        # faster, correctly labeled
         r_complex = run_complex()
-        r_pair = run_realpair()
+        r_pair = run_realpair(k=64)
         if r_pair > r_complex:
-            return r_pair, backend, "demod_sync_realpair"
+            return r_pair, backend, "demod_decode_realpair"
         return r_complex, backend, "demod_decode"
 
+    # A TimeoutError means the tunnel is hanging (not an op gap): later
+    # tiers would hang too, so propagate straight to the CPU fallback.
     try:
         return run_complex(), backend, "demod_decode"
+    except TimeoutError:
+        raise
     except Exception as e:
         print(f"[bench] complex pipeline failed on {backend} "
               f"({str(e)[:80]}); trying real-pair variant", file=sys.stderr)
-    return run_realpair(), backend, "demod_sync_realpair"
+    try:
+        return run_realpair(k=64), backend, "demod_decode_realpair"
+    except TimeoutError:
+        raise
+    except Exception as e:
+        print(f"[bench] real-pair decode pipeline failed on {backend} "
+              f"({str(e)[:80]}); trying demod+sync-only variant",
+              file=sys.stderr)
+    try:
+        return run_realpair(k=0), backend, "demod_sync_realpair"
+    except TimeoutError:
+        raise
+    except Exception as e:
+        print(f"[bench] real-pair pipeline failed on {backend} "
+              f"({str(e)[:80]}); trying single-carrier frontend",
+              file=sys.stderr)
+    return run_single(), backend, "singlecarrier_demod_sync"
 
 
 def main() -> int:
@@ -157,10 +195,11 @@ def main() -> int:
         sys.stdout.flush()
         os._exit(proc.returncode)
 
+    scope = "" if variant.startswith("singlecarrier") else "16carrier_"
     if backend != "cpu":
-        metric = f"iq_samples_per_sec_per_chip_16carrier_{variant}"
+        metric = f"iq_samples_per_sec_per_chip_{scope}{variant}"
     else:
-        metric = f"iq_samples_per_sec_16carrier_{variant}_cpu_fallback"
+        metric = f"iq_samples_per_sec_{scope}{variant}_cpu_fallback"
     print(json.dumps({
         "metric": metric,
         "value": round(sps, 1),

@@ -74,6 +74,40 @@ class TestRealPairEquivalence:
             nb = 2 * (int(cnt_rp[c]) - 1)
             assert (bits_rp[c, :nb] == bits_mc[c, :nb]).mean() == 1.0, c
 
+    def test_candidates_stage_matches_multicarrier(self):
+        """k>0 appends extract_candidates: full-decode outputs (positions,
+        correlations, frame windows, CRC verdicts) must equal the complex
+        MulticarrierFrontend's on the same grid-locked carriers."""
+        fs = 2.4e6
+        st = synth.make_stream_bits(num_frames=4, lead_bits=64, seed=2,
+                                    golden=True)
+        syms = synth.bits_to_symbols(st)
+        ph = synth.synthesize_symbol_phasors(syms, mapping="ref")
+        iq = synth.upsample_hold(ph, fs, fs / 130.0)
+        n = (len(iq) // 96) * 96
+        t = np.arange(n) / fs
+        rng = np.random.default_rng(0)
+        x = (iq[:n] * np.exp(2j * np.pi * 25e3 * t)).astype(np.complex64)
+        x += 0.02 * (rng.standard_normal(n)
+                     + 1j * rng.standard_normal(n)).astype(np.complex64)
+        offsets = np.array([0.0, 25e3, -25e3], np.float32)
+
+        rp = RealPairFrontend(num_candidates=16, threshold=0.8)(x, offsets)
+        mc = MulticarrierFrontend(num_candidates=16, threshold=0.8)(
+            x, offsets)
+        np.testing.assert_array_equal(np.asarray(rp.cand_pos),
+                                      np.asarray(mc.cand_pos))
+        np.testing.assert_allclose(np.asarray(rp.cand_corr),
+                                   np.asarray(mc.cand_corr), atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(rp.cand_valid),
+                                      np.asarray(mc.cand_valid))
+        np.testing.assert_array_equal(np.asarray(rp.frame_bits),
+                                      np.asarray(mc.frame_bits))
+        np.testing.assert_array_equal(np.asarray(rp.crc_ok),
+                                      np.asarray(mc.crc_ok))
+        # the signal carrier (25 kHz) must actually produce CRC-valid hits
+        assert np.asarray(rp.crc_ok)[1][np.asarray(rp.cand_valid)[1]].any()
+
     def test_decodes_through_standard_host_decoder(self):
         import types
         from tetraear_tpu.models.multicarrier import MulticarrierDecoder

@@ -39,6 +39,20 @@ class RealPairResult(NamedTuple):
     best_phase: jnp.ndarray  # (C,) int32
 
 
+class RealPairDecodeResult(NamedTuple):
+    """RealPairResult + the on-device candidate/CRC stage (same fields as
+    models/multicarrier.MulticarrierResult minus the complex-free rename)."""
+    bits: jnp.ndarray        # (C, B) uint8
+    sync_corr: jnp.ndarray   # (C, B-21) float32
+    count: jnp.ndarray       # (C,) int32
+    best_phase: jnp.ndarray  # (C,) int32
+    cand_pos: jnp.ndarray    # (C, K) int32
+    cand_corr: jnp.ndarray   # (C, K) float32
+    cand_valid: jnp.ndarray  # (C, K) bool
+    frame_bits: jnp.ndarray  # (C, K, 510) uint8
+    crc_ok: jnp.ndarray      # (C, K) bool
+
+
 @functools.lru_cache(maxsize=None)
 def _mixer_table(num_carriers_key, sample_rate: float, spacing: float,
                  offsets_bytes: bytes) -> np.ndarray:
@@ -61,8 +75,15 @@ def mixer_table(offsets_hz: np.ndarray, sample_rate: float,
 
 
 def _realpair_block(x_ri: jnp.ndarray, table: jnp.ndarray,
-                    cfg: ReceiverConfig):
-    """x_ri: (2, N) f32; table: (2, C, P) f32 -> RealPairResult."""
+                    cfg: ReceiverConfig, k: int = 0,
+                    threshold: float = 0.80):
+    """x_ri: (2, N) f32; table: (2, C, P) f32 -> RealPairResult.
+
+    With k > 0, appends the on-device candidate+CRC stage (itself already
+    complex/transcendental-free: top_k, gathers, GF(2)-matmul CRC) and
+    returns RealPairDecodeResult — the FULL decode compute of
+    MulticarrierFrontend in the restricted op vocabulary.
+    """
     n = x_ri.shape[-1]
     period = table.shape[-1]
     assert n % period == 0
@@ -117,24 +138,34 @@ def _realpair_block(x_ri: jnp.ndarray, table: jnp.ndarray,
     hard = dqpsk.quantize_z_ref(zr, zi)
     bits = dqpsk.symbols_to_bits(hard)
     corr = sync.best_correlation(bits)
-    return RealPairResult(bits, corr, count, best)
+    if k <= 0:
+        return RealPairResult(bits, corr, count, best)
+    from tetraear_tpu.models.multicarrier import extract_candidates
+    valid_bits = jnp.maximum(count - 1, 0) * 2
+    pos, ccorr, valid, frames, crc_ok = extract_candidates(
+        bits, corr, valid_bits, k, threshold)
+    return RealPairDecodeResult(bits, corr, count, best, pos, ccorr, valid,
+                                frames, crc_ok)
 
 
 class RealPairFrontend:
     """Grid-locked, transcendental/complex-free multicarrier frontend."""
 
     def __init__(self, config: ReceiverConfig | None = None,
-                 spacing_hz: float = 25e3):
+                 spacing_hz: float = 25e3, num_candidates: int = 0,
+                 threshold: float = 0.80):
         self.config = config or ReceiverConfig()
         self.spacing_hz = spacing_hz
+        self.num_candidates = num_candidates
+        self.threshold = threshold
 
     @functools.lru_cache(maxsize=8)
     def _compiled(self, n: int, c: int):
-        cfg = self.config
+        cfg, k, thr = self.config, self.num_candidates, self.threshold
 
         @jax.jit
         def run(x_ri, table):
-            return _realpair_block(x_ri, table, cfg)
+            return _realpair_block(x_ri, table, cfg, k, thr)
         return run
 
     def __call__(self, x, offsets_hz) -> RealPairResult:
@@ -150,9 +181,12 @@ class RealPairFrontend:
         return fn(x_ri, table)
 
     def __hash__(self):
-        return hash((self.config, self.spacing_hz))
+        return hash((self.config, self.spacing_hz, self.num_candidates,
+                     self.threshold))
 
     def __eq__(self, other):
         return (isinstance(other, RealPairFrontend)
-                and (self.config, self.spacing_hz)
-                == (other.config, other.spacing_hz))
+                and (self.config, self.spacing_hz, self.num_candidates,
+                     self.threshold)
+                == (other.config, other.spacing_hz, other.num_candidates,
+                    other.threshold))
