@@ -108,6 +108,52 @@ class TestRealPairEquivalence:
         # the signal carrier (25 kHz) must actually produce CRC-valid hits
         assert np.asarray(rp.crc_ok)[1][np.asarray(rp.cand_valid)[1]].any()
 
+    def test_pfb_realpair_matches_complex_pfb(self, rng):
+        """ops/pfb.pfb_channelize_realpair (IDFT-as-matmul) == complex
+        pfb_channelize to f32 matmul-vs-fft rounding."""
+        from tetraear_tpu.ops import pfb
+        n = 96 * 400
+        x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+             ).astype(np.complex64)
+        yc = np.asarray(pfb.pfb_channelize(jnp.asarray(x), 96, 10,
+                                           chunk=512))
+        x_ri = jnp.asarray(np.stack([x.real, x.imag]).astype(np.float32))
+        yp = np.asarray(pfb.pfb_channelize_realpair(x_ri, 96, 10,
+                                                    chunk=512))
+        np.testing.assert_allclose(yp[0], yc.real, atol=2e-3)
+        np.testing.assert_allclose(yp[1], yc.imag, atol=2e-3)
+
+    def test_pfb_frontend_decision_equivalence(self):
+        """RealPairPfbFrontend decodes the same frames as the complex
+        PfbMulticarrierFrontend (decision level; quantizer boundaries may
+        flip isolated noise bits)."""
+        from tetraear_tpu.models.multicarrier import PfbMulticarrierFrontend
+        from tetraear_tpu.models.realpair import RealPairPfbFrontend
+        fs = 2.4e6
+        st = synth.make_stream_bits(num_frames=4, lead_bits=64, seed=2,
+                                    golden=True)
+        syms = synth.bits_to_symbols(st)
+        ph = synth.synthesize_symbol_phasors(syms, mapping="ref")
+        iq = synth.upsample_hold(ph, fs, fs / 130.0)
+        n = (len(iq) // 96) * 96
+        t = np.arange(n) / fs
+        x = (iq[:n] * np.exp(2j * np.pi * 50e3 * t)).astype(np.complex64)
+
+        rp = RealPairPfbFrontend(num_candidates=16, threshold=0.8)(x)
+        mc = PfbMulticarrierFrontend(num_candidates=16, threshold=0.8)(x)
+        np.testing.assert_array_equal(np.asarray(rp.count),
+                                      np.asarray(mc.count))
+        # signal lands in channel 2 (+50 kHz, fftfreq order)
+        ch = 2
+        nb = 2 * (int(np.asarray(rp.count)[ch]) - 1)
+        agree = (np.asarray(rp.bits)[ch, :nb]
+                 == np.asarray(mc.bits)[ch, :nb]).mean()
+        assert agree > 0.999, agree
+        # both find CRC-valid frames on the signal channel
+        for res in (rp, mc):
+            ok = np.asarray(res.crc_ok)[ch][np.asarray(res.cand_valid)[ch]]
+            assert ok.any(), res.__class__.__name__
+
     def test_decodes_through_standard_host_decoder(self):
         import types
         from tetraear_tpu.models.multicarrier import MulticarrierDecoder

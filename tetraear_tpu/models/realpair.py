@@ -110,6 +110,16 @@ def _realpair_block(x_ri: jnp.ndarray, table: jnp.ndarray,
     yr = _conv1d_real(yr, taps_c, 1, (g2, g2))
     yi = _conv1d_real(yi, taps_c, 1, (g2, g2))
 
+    return _demod_from_pair(yr, yi, sps, k, threshold)
+
+
+def _demod_from_pair(yr: jnp.ndarray, yi: jnp.ndarray, sps: int,
+                     k: int = 0, threshold: float = 0.80):
+    """Channel-rate (C, M) real/imag pair -> demod/sync[/candidates].
+
+    The gather-free timing+demod tail shared by the DDC-bank and PFB
+    real-pair frontends (complex equivalent: ops/timing.best_phase_pick +
+    ops/dqpsk.demodulate_hard)."""
     # --- best-phase timing: reshape power sums (no gather) ----------------
     m_dec = yr.shape[-1]
     m = m_dec // sps
@@ -190,3 +200,61 @@ class RealPairFrontend:
                      self.threshold)
                 == (other.config, other.spacing_hz, other.num_candidates,
                     other.threshold))
+
+
+class RealPairPfbFrontend:
+    """Complex-free full-band channelizer+demod: the PFB analogue of
+    models/multicarrier.PfbMulticarrierFrontend in the restricted op
+    vocabulary (ops/pfb.pfb_channelize_realpair: IDFT as two real (C, C)
+    matmuls).  All fs/25kHz channels (96 at 2.4 MS/s), demod/sync[/
+    candidates+CRC] — executable on backends without complex arithmetic."""
+
+    def __init__(self, config: ReceiverConfig | None = None,
+                 num_candidates: int = 0, threshold: float = 0.80,
+                 taps_per_branch: int = 8):
+        self.config = config or ReceiverConfig()
+        self.num_candidates = num_candidates
+        self.threshold = threshold
+        self.taps_per_branch = taps_per_branch
+        fs = self.config.sample_rate_hz
+        self.num_channels = int(round(fs / 25e3))
+        self.decim = self.config.decimation_factor
+
+    def channel_offsets_hz(self) -> np.ndarray:
+        from tetraear_tpu.ops import pfb
+        return pfb.channel_offsets_hz(self.num_channels,
+                                      self.config.sample_rate_hz)
+
+    @functools.lru_cache(maxsize=4)
+    def _compiled(self, n: int):
+        cfg, k, thr = self.config, self.num_candidates, self.threshold
+        num_channels, decim, tpb = (self.num_channels, self.decim,
+                                    self.taps_per_branch)
+
+        @jax.jit
+        def run(x_ri):
+            from tetraear_tpu.ops import pfb
+            taps = pfb.design_prototype(num_channels, tpb)
+            y = pfb.pfb_channelize_realpair(x_ri, num_channels, decim, taps)
+            return _demod_from_pair(y[0], y[1], cfg.ref_samples_per_symbol,
+                                    k, thr)
+        return run
+
+    def __call__(self, x):
+        x = np.asarray(x)
+        if np.iscomplexobj(x):
+            x_ri = jnp.asarray(np.stack([x.real, x.imag]).astype(np.float32))
+        else:
+            x_ri = jnp.asarray(x, jnp.float32)
+        return self._compiled(x_ri.shape[-1])(x_ri)
+
+    def __hash__(self):
+        return hash((self.config, self.num_candidates, self.threshold,
+                     self.taps_per_branch))
+
+    def __eq__(self, other):
+        return (isinstance(other, RealPairPfbFrontend)
+                and (self.config, self.num_candidates, self.threshold,
+                     self.taps_per_branch)
+                == (other.config, other.num_candidates, other.threshold,
+                    other.taps_per_branch))

@@ -96,3 +96,71 @@ def pfb_channelize(x: jnp.ndarray, num_channels: int, decim: int,
     ys = jax.lax.map(do_chunk, starts)                     # (num_chunks, chunk, C)
     y = ys.reshape(m_pad, num_channels)[:m_total]
     return jnp.transpose(y)                                # (C, M)
+
+
+@functools.lru_cache(maxsize=None)
+def _idft_tables(num_channels: int) -> tuple:
+    """Real/imag parts of the C-point IDFT matrix W[r,c]=e^{+j2pi rc/C}."""
+    r = np.arange(num_channels)
+    th = 2.0 * np.pi * np.outer(r, r) / num_channels
+    return (np.cos(th).astype(np.float32), np.sin(th).astype(np.float32))
+
+
+def pfb_channelize_realpair(x_ri: jnp.ndarray, num_channels: int,
+                            decim: int, taps: np.ndarray | None = None,
+                            chunk: int = 8192) -> jnp.ndarray:
+    """Complex-free pfb_channelize: x_ri (2, N) f32 -> (2, C, M) f32.
+
+    Same math as :func:`pfb_channelize`, with the C-point IFFT expressed as
+    two real (C, C) matmuls (IDFT matrix, host-precomputed) and the
+    oversampling rotation as real cos/sin tables — MXU-friendly and
+    executable on backends without complex arithmetic (models/realpair.py
+    rationale).  For C = 96 the (chunk, C) @ (C, C) products dominate and
+    tile directly onto the systolic array.
+    """
+    if taps is None:
+        taps = design_prototype(num_channels)
+    taps = np.asarray(taps, np.float64)
+    pc = len(taps)
+    assert pc % num_channels == 0
+    p = pc // num_channels
+
+    n = x_ri.shape[-1]
+    m_total = n // decim
+    h = jnp.asarray(taps, jnp.float32)
+
+    cos_w, sin_w = _idft_tables(num_channels)
+    cos_j = jnp.asarray(cos_w)
+    sin_j = jnp.asarray(sin_w)
+
+    period = num_channels // math.gcd(num_channels, decim)
+    mm = np.arange(period)
+    cc = np.arange(num_channels)
+    th = 2.0 * np.pi * np.outer(mm, cc) * decim / num_channels
+    rot_r = jnp.asarray(np.cos(th).astype(np.float32))     # (period, C)
+    rot_i = jnp.asarray((-np.sin(th)).astype(np.float32))
+
+    xp = jnp.pad(x_ri, ((0, 0), (pc, 0)))                  # (2, N+PC)
+
+    num_chunks = -(-m_total // chunk)
+    m_pad = num_chunks * chunk
+
+    def do_chunk(start):
+        m_idx = start + jnp.arange(chunk)
+        gather = (m_idx[:, None] * decim - jnp.arange(pc)[None, :] + pc)
+        gather = jnp.clip(gather, 0, xp.shape[-1] - 1)
+        w = xp[:, gather] * h[None, None, :]               # (2, chunk, PC)
+        folded = w.reshape(2, chunk, p, num_channels).sum(axis=2)
+        fr, fi = folded[0], folded[1]                      # (chunk, C)
+        # IDFT (times C): Y = folded @ W with W = cos + j sin
+        yr = fr @ cos_j - fi @ sin_j
+        yi = fr @ sin_j + fi @ cos_j
+        # oversampling rotation
+        rr = rot_r[m_idx % period]
+        ri = rot_i[m_idx % period]
+        return jnp.stack([yr * rr - yi * ri, yr * ri + yi * rr])
+
+    starts = jnp.arange(num_chunks) * chunk
+    ys = jax.lax.map(do_chunk, starts)                 # (nc, 2, chunk, C)
+    y = jnp.transpose(ys, (1, 0, 2, 3)).reshape(2, m_pad, num_channels)
+    return jnp.transpose(y[:, :m_total], (0, 2, 1))        # (2, C, M)
