@@ -175,8 +175,15 @@ def main() -> int:
         import jax
         jax.config.update("jax_platforms", "cpu")
 
+    # size knobs (used by tests/unit/test_bench.py to exercise the full
+    # CLI contract cheaply; defaults are the real benchmark)
+    kw = dict(
+        num_carriers=int(os.environ.get("BENCH_CARRIERS", 16)),
+        scale=int(os.environ.get("BENCH_SCALE", 2)),
+        iters=int(os.environ.get("BENCH_ITERS", 8)),
+    )
     try:
-        sps, backend, variant = _measure()
+        sps, backend, variant = _measure(**kw)
     except Exception as e:
         if force_cpu:
             print(json.dumps({"metric": "bench_failed", "value": 0,
@@ -195,7 +202,8 @@ def main() -> int:
         sys.stdout.flush()
         os._exit(proc.returncode)
 
-    scope = "" if variant.startswith("singlecarrier") else "16carrier_"
+    scope = ("" if variant.startswith("singlecarrier")
+             else f"{kw['num_carriers']}carrier_")
     if backend != "cpu":
         metric = f"iq_samples_per_sec_per_chip_{scope}{variant}"
     else:

@@ -1,0 +1,57 @@
+"""bench.py contract tests (the driver-facing benchmark artifact).
+
+Runs the measurement machinery small (4 carriers, 1 iter) on the CPU
+backend; pins the tier labels and the one-line-JSON contract without
+paying the full benchmark cost.
+"""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def bench():
+    sys.path.insert(0, "/root/repo")
+    import bench as b
+    return b
+
+
+class TestMeasure:
+    def test_cpu_measure_small(self, bench):
+        sps, backend, variant = bench._measure(num_carriers=4, scale=1,
+                                               iters=1)
+        assert backend == "cpu"
+        assert variant in ("demod_decode", "demod_decode_realpair")
+        assert sps > 1e5          # sanity: >0.1 MS/s even tiny/contended
+
+    def test_verified_rate_raises_on_hang(self, bench, monkeypatch):
+        # a digest that never completes must raise, not wedge the bench
+        monkeypatch.setattr(bench, "WATCHDOG_S", 0.2)
+        import time
+
+        def hang(_):
+            time.sleep(3600)
+
+        with pytest.raises(TimeoutError):
+            bench._verified_rate(lambda x: x, hang, [np.zeros(4)], 4, 1)
+
+
+class TestCliContract:
+    def test_one_json_line(self):
+        import os
+        env = dict(os.environ, BENCH_CARRIERS="4", BENCH_SCALE="1",
+                   BENCH_ITERS="1")
+        proc = subprocess.run(
+            [sys.executable, "/root/repo/bench.py", "--cpu"],
+            capture_output=True, text=True, timeout=1700, env=env)
+        assert proc.returncode == 0, proc.stderr[-500:]
+        lines = [l for l in proc.stdout.splitlines() if l.strip()]
+        assert len(lines) == 1, proc.stdout
+        rec = json.loads(lines[0])
+        assert set(rec) == {"metric", "value", "unit", "vs_baseline"}
+        assert rec["unit"] == "samples/s"
+        assert rec["value"] > 0
