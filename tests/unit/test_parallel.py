@@ -146,6 +146,64 @@ class TestShardedEquivalence:
         for c in range(C):
             assert best[c, 0] == best[c, 1]
 
+    def test_realpair_sharded_matches_complex_sharded(self, mesh42):
+        """The complex-free sharded step (build_sharded_step_realpair) must
+        produce the same interior decisions as the complex sharded step —
+        pod-scale analogue of the RealPair==Multicarrier equivalence."""
+        from tetraear_tpu.parallel.sharded import (
+            build_sharded_step_realpair, realpair_shard_inputs)
+        cfg = ReceiverConfig()
+        step = cfg.decimation_factor * cfg.ref_samples_per_symbol   # 130
+        # t_local must be a multiple of lcm(130, 96) = 6240
+        n_time = 2
+        t_local = 22 * 6240                 # = 1056 * step
+        T = n_time * t_local
+        C = 4
+
+        stream = synth.make_stream_bits(num_frames=8, lead_bits=64, seed=2,
+                                        golden=True)
+        syms = synth.bits_to_symbols(stream)
+        ph = synth.synthesize_symbol_phasors(syms, mapping="ref")
+        sig = synth.upsample_hold(ph, 2.4e6, 2.4e6 / 130.0)
+        rng = np.random.default_rng(0)
+        x = 0.05 * (rng.standard_normal(T) + 1j * rng.standard_normal(T))
+        x[:len(sig)] += sig[:T]
+        x = x.astype(np.complex64)
+        offsets = np.array([0.0, 25e3, -25e3, 50e3], np.float32)
+
+        run_rp, halo = build_sharded_step_realpair(mesh42, cfg)
+        xs_rp, tb = realpair_shard_inputs(mesh42, x, offsets, halo,
+                                          cfg.sample_rate_hz)
+        out_rp = run_rp(xs_rp, tb)
+
+        run_c = build_sharded_step(mesh42, cfg, halo=halo)
+        xs, offs = shard_inputs(mesh42, x, offsets)
+        out_c = run_c(xs, offs)
+
+        np.testing.assert_array_equal(np.asarray(out_rp.best_phase),
+                                      np.asarray(out_c.best_phase))
+        bits_rp = np.asarray(out_rp.bits)
+        bits_c = np.asarray(out_c.bits)
+        assert bits_rp.shape == bits_c.shape
+        # compare the owned interiors (what the stitcher keeps): the
+        # zero-filled stream-edge halos contain exact-zero symbols whose
+        # z=0 degenerate quantizer tie-break legitimately differs between
+        # the atan2 and sector formulations
+        halo_syms = (halo // cfg.decimation_factor
+                     ) // cfg.ref_samples_per_symbol
+        own_syms = (t_local // cfg.decimation_factor
+                    ) // cfg.ref_samples_per_symbol
+        b0 = 2 * (halo_syms + 8)
+        b1 = 2 * (halo_syms + own_syms - 8)
+        for c in range(C):
+            for k in range(n_time):
+                agree = (bits_rp[c, k, b0:b1] == bits_c[c, k, b0:b1]).mean()
+                # same decision-level tolerance as the unsharded A/B:
+                # golden carrier has margin, noise carriers may flip
+                # near-zero symbols at quantizer boundaries
+                required = 1.0 if c == 0 else 0.995
+                assert agree >= required, (c, k, agree)
+
     def test_entry_points_compile(self):
         """__graft_entry__ contract: entry() jits; dryrun_multichip runs on
         the virtual mesh."""

@@ -97,6 +97,85 @@ def _shard_step(x_local: jnp.ndarray, offsets_local: jnp.ndarray,
             jnp.broadcast_to(best[:, None], (best.shape[0], 1)))
 
 
+def _shard_step_realpair(x_ri: jnp.ndarray, table: jnp.ndarray,
+                         cfg: ReceiverConfig, halo: int):
+    """Complex/transcendental-free shard step (models/realpair.py rationale
+    at pod scale): (2, T) local real-pair wideband + (2, C_local, P) mixer
+    table pre-rolled for the halo (see build_sharded_step_realpair).
+
+    Shard contract: T and halo must be multiples of BOTH decim*sps (demod
+    grid) and the mixer period P = fs/spacing (96 at 2.4 MS/s / 25 kHz), so
+    the extended block's global phase offset (-halo mod P) is identical on
+    every shard and one table serves all of them.
+    """
+    decim = cfg.decimation_factor
+    sps = cfg.ref_samples_per_symbol
+    t_local = x_ri.shape[-1]
+    period = table.shape[-1]
+    assert t_local % (decim * sps) == 0 and halo % (decim * sps) == 0
+    assert t_local % period == 0 and halo % period == 0
+
+    taps_d = jnp.asarray(fir.design_decimation_fir(
+        decim, cfg.decim_fir_taps_per_phase))
+    cutoff = (cfg.channel_bandwidth_hz / 2) / (cfg.intermediate_rate_hz / 2)
+    taps_c = jnp.asarray(fir.design_channel_fir(cfg.channel_fir_taps, cutoff))
+
+    ext = extend_with_halo(x_ri, halo, halo, TIME_AXIS)      # (2, T+2H)
+    n_ext = t_local + 2 * halo
+
+    # --- mix via the shard-invariant periodic table -----------------------
+    xt = ext.reshape(2, 1, n_ext // period, period)
+    oc = table[0][None, :, None, :]
+    osn = table[1][None, :, None, :]
+    xr, xi = xt[0:1], xt[1:2]
+    mr = (xr * oc - xi * osn)[0].reshape(-1, n_ext)          # (Cl, T+2H)
+    mi = (xr * osn + xi * oc)[0].reshape(-1, n_ext)
+
+    # --- FIRs (same alignment as models/realpair._realpair_block) ---------
+    from tetraear_tpu.ops.fir import _conv1d_real
+    g1 = (taps_d.shape[0] - 1) // 2
+    yr = _conv1d_real(mr, taps_d, decim, (g1, g1))
+    yi = _conv1d_real(mi, taps_d, decim, (g1, g1))
+    g2 = (taps_c.shape[0] - 1) // 2
+    yr = _conv1d_real(yr, taps_c, 1, (g2, g2))
+    yi = _conv1d_real(yi, taps_c, 1, (g2, g2))               # (Cl, (T+2H)/D)
+
+    # --- global best-phase: psum'd interior power (gather-free) -----------
+    h_dec = halo // decim
+    int_r = yr[:, h_dec:h_dec + t_local // decim]
+    int_i = yi[:, h_dec:h_dec + t_local // decim]
+    m_int = int_r.shape[-1] // sps
+    pw = (int_r[:, :m_int * sps] ** 2 + int_i[:, :m_int * sps] ** 2)
+    phase_power = pw.reshape(pw.shape[0], m_int, sps).sum(axis=1)
+    phase_power = lax.psum(phase_power, TIME_AXIS)
+    best = jnp.argmax(phase_power, axis=-1).astype(jnp.int32)   # (Cl,)
+
+    # --- symbols on the global grid: one-hot matmul (no gather) -----------
+    ext_dec_len = yr.shape[-1]
+    m_ext = ext_dec_len // sps - 1
+    fr = jnp.stack([yr[:, p:p + m_ext * sps:sps] for p in range(sps)],
+                   axis=-1)                                  # (Cl, M_ext, sps)
+    fi = jnp.stack([yi[:, p:p + m_ext * sps:sps] for p in range(sps)],
+                   axis=-1)
+    onehot = jax.nn.one_hot(best, sps, dtype=jnp.float32)
+    sym_r = jnp.einsum("cmp,cp->cm", fr, onehot)
+    sym_i = jnp.einsum("cmp,cp->cm", fi, onehot)
+
+    # --- differential demod with cross-shard carry ------------------------
+    prev_r = carry_last(sym_r, TIME_AXIS)
+    prev_i = carry_last(sym_i, TIME_AXIS)
+    sr = jnp.concatenate([prev_r[:, None], sym_r], axis=-1)
+    si = jnp.concatenate([prev_i[:, None], sym_i], axis=-1)
+    zr = sr[:, 1:] * sr[:, :-1] + si[:, 1:] * si[:, :-1]
+    zi = si[:, 1:] * sr[:, :-1] - sr[:, 1:] * si[:, :-1]
+    hard = dqpsk.quantize_z_ref(zr, zi)[:, 1:]               # drop seed diff
+    bits = dqpsk.symbols_to_bits(hard)
+    corr = sync.best_correlation(bits)
+
+    return (bits[:, None, :], corr[:, None, :],
+            jnp.broadcast_to(best[:, None], (best.shape[0], 1)))
+
+
 def build_sharded_step(mesh: Mesh, cfg: ReceiverConfig | None = None,
                        halo: int | None = None):
     """Compile the full sharded receive step for `mesh`.
@@ -127,6 +206,64 @@ def build_sharded_step(mesh: Mesh, cfg: ReceiverConfig | None = None,
         return ShardedResult(*fn(x, offsets))
 
     return run
+
+
+def build_sharded_step_realpair(mesh: Mesh, cfg: ReceiverConfig | None = None,
+                                halo: int | None = None,
+                                spacing_hz: float = 25e3):
+    """Complex-free sharded receive step (backend-robust pod path).
+
+    Returns fn(x_ri, table) with x_ri: (2, T_total) float32 and table:
+    (2, C, P) from realpair_shard_inputs.  T_total / n_time and halo must
+    be multiples of lcm(decim*sps, P) — 6240 at reference rates — so the
+    periodic mixer stays globally phase-aligned on every shard.
+    """
+    cfg = cfg or ReceiverConfig()
+    step = cfg.decimation_factor * cfg.ref_samples_per_symbol
+    period = int(round(cfg.sample_rate_hz / spacing_hz))
+    if halo is None:
+        import math
+        lcm = step * period // math.gcd(step, period)
+        halo = -(-(132 * step) // lcm) * lcm        # >= complex default
+    assert halo % step == 0 and halo % period == 0
+
+    fn = jax.shard_map(
+        functools.partial(_shard_step_realpair, cfg=cfg, halo=halo),
+        mesh=mesh,
+        in_specs=(P(None, TIME_AXIS), P(None, CARRIER_AXIS, None)),
+        out_specs=(P(CARRIER_AXIS, TIME_AXIS, None),
+                   P(CARRIER_AXIS, TIME_AXIS, None),
+                   P(CARRIER_AXIS, TIME_AXIS)),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run(x_ri, table):
+        return ShardedResult(*fn(x_ri, table))
+
+    return run, halo
+
+
+def realpair_shard_inputs(mesh: Mesh, x, offsets: np.ndarray, halo: int,
+                          sample_rate_hz: float, spacing_hz: float = 25e3):
+    """Real-pair inputs for build_sharded_step_realpair: (2, T) wideband +
+    the mixer table rolled so index j corresponds to global sample j-halo
+    (every shard's extended block starts at -halo mod P)."""
+    from tetraear_tpu.models.realpair import mixer_table
+    x = np.asarray(x)
+    if np.iscomplexobj(x):
+        x_ri = np.stack([x.real, x.imag]).astype(np.float32)
+    else:
+        x_ri = np.asarray(x, np.float32)
+    base = mixer_table(np.asarray(offsets, np.float32), sample_rate_hz,
+                       spacing_hz)
+    period = base.shape[-1]
+    table = np.roll(base, halo % period, axis=-1)
+    xs = jax.device_put(jnp.asarray(x_ri),
+                        NamedSharding(mesh, P(None, TIME_AXIS)))
+    tb = jax.device_put(jnp.asarray(table),
+                        NamedSharding(mesh, P(None, CARRIER_AXIS, None)))
+    return xs, tb
 
 
 class ShardedReceiver:
