@@ -54,9 +54,13 @@ def _verified_rate(step_fn, digest_fn, inputs, n: int, iters: int) -> float:
         th = threading.Thread(target=pull, daemon=True)
         th.start()
         th.join(WATCHDOG_S)
-        if "v" not in result:
-            raise TimeoutError(result.get("err") or "verified sync timed out")
-        return _time.perf_counter() - t0
+        if "v" in result:
+            return _time.perf_counter() - t0
+        if "err" in result:
+            # completed quickly with a backend error (e.g. UNIMPLEMENTED):
+            # NOT a hang — callers may try a different program tier
+            raise RuntimeError(f"verified sync failed: {result['err']}")
+        raise TimeoutError("verified sync timed out")
 
     _ = run(1)                        # warmup/compile + first sync
     t_base = run(1)                   # dispatch+sync floor
