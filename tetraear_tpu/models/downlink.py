@@ -1,0 +1,340 @@
+"""Continuous TETRA downlink: TDMA multiframe transmitter and a
+cell-acquiring receiver over the true ETSI burst structures.
+
+This is the `etsi` profile's end-to-end story (closing ROUND1.md gaps
+#2/#3 jointly with protocol/bursts.py): a base-station downlink is
+synthesized as a gapless π/4-DQPSK stream of 510-bit slots — SB bursts
+carrying BSCH (SYNC PDU) + SCH/HD (SYSINFO), NDB bursts carrying SCH/F
+signalling and AACH on every burst — and the receiver acquires it blind:
+
+    soft bits ──STS matched filter──> SB found
+      └─> BSCH decode (colour-code-0 scrambling) -> SYNC PDU
+            └-> cell scrambling seed (MCC/MNC/CC), slot grid, FN/MN/TN
+                  └-> per-slot: classify (STS vs NTS @ bit 244),
+                      AACH (RM(30,14) ML matmul), SCH/F / SCH/HD
+                      channel decode, MAC parse -> frames with real
+                      TDMA coordinates
+
+The reference implementation has no notion of any of this — no frame
+numbering, no AACH, no scrambling, no channel coding; it free-runs a
+22-bit correlator over raw demodulated bits
+(/root/reference/tetraear/core/decoder.py:171-295).  Its capability
+ceiling is exactly why BASELINE.json makes the full ETSI chain the
+north-star profile.
+
+Everything data-dependent here (burst walk, PDU dataclasses) is host
+code over dense device outputs (demod soft bits, correlations, batched
+channel decodes) per the SURVEY §7 device/host split.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from tetraear_tpu import constants as C
+from tetraear_tpu.config import ReceiverConfig
+from tetraear_tpu.models.receiver_etsi import EtsiReceiver
+from tetraear_tpu.ops import channel_coding as cc
+from tetraear_tpu.ops import rm3014
+from tetraear_tpu.ops.scramble import extended_colour_code, scrambling_sequence
+from tetraear_tpu.protocol import bursts
+from tetraear_tpu.protocol.parser import TetraProtocolParser
+from tetraear_tpu.protocol.pdus import AccessAssignPDU, SyncPDU, SysinfoPDU
+from tetraear_tpu.utils import synth
+
+SLOT_BITS = C.BITS_PER_SLOT                 # 510
+SLOTS_PER_FRAME = C.SLOTS_PER_FRAME         # 4
+FRAMES_PER_MF = C.FRAMES_PER_MULTIFRAME     # 18
+
+
+# ---------------------------------------------------------------------------
+# TDMA counting
+# ---------------------------------------------------------------------------
+
+def advance_tdma(tn: int, fn: int, mn: int, slots: int) -> Tuple[int, int, int]:
+    """Advance (TN 1..4, FN 1..18, MN 1..60) by `slots` slots."""
+    total = (tn - 1) + slots
+    tn2 = total % SLOTS_PER_FRAME + 1
+    frames = (fn - 1) + total // SLOTS_PER_FRAME
+    fn2 = frames % FRAMES_PER_MF + 1
+    mn2 = ((mn - 1) + frames // FRAMES_PER_MF) % 60 + 1
+    return tn2, fn2, mn2
+
+
+# ---------------------------------------------------------------------------
+# Transmitter
+# ---------------------------------------------------------------------------
+
+@dataclass
+class DownlinkConfig:
+    mcc: int = 262
+    mnc: int = 1001
+    colour_code: int = 17
+    location_area: int = 999
+    main_carrier: int = 3600
+    frequency_band: int = 3
+    sync_timeslot: int = 1          # TN carrying SB every frame
+    start_tn: int = 1
+    start_fn: int = 1
+    start_mn: int = 1
+
+    @property
+    def cell_ecc30(self) -> int:
+        return extended_colour_code(self.mcc, self.mnc, self.colour_code)
+
+
+@dataclass
+class DownlinkFrame:
+    """One decoded slot, with its TDMA coordinates."""
+    slot_index: int               # slot position in the received stream
+    tn: int
+    fn: int
+    mn: int
+    burst_kind: str               # "SB" | "NDB"
+    channel: str                  # "BSCH+SCH/HD" | "SCH/F" | ...
+    crc_ok: bool
+    aach: Optional[AccessAssignPDU]
+    aach_margin: float
+    sync_pdu: Optional[SyncPDU] = None
+    sysinfo: Optional[SysinfoPDU] = None
+    mac_bits: Optional[np.ndarray] = None
+    mac_pdu: Optional[object] = None
+    sds_message: Optional[str] = None
+
+
+class DownlinkTransmitter:
+    """Build a gapless downlink bit/IQ stream, one 510-bit slot at a time."""
+
+    def __init__(self, config: DownlinkConfig | None = None):
+        self.cfg = config or DownlinkConfig()
+
+    # --- coded building blocks ---
+    def _sync_block(self, tn: int, fn: int, mn: int) -> np.ndarray:
+        pdu = SyncPDU(colour_code=self.cfg.colour_code, timeslot=tn - 1,
+                      frame_number=fn, multiframe_number=mn,
+                      mcc=self.cfg.mcc, mnc=self.cfg.mnc)
+        return cc.encode_channel(pdu.build(), "BSCH", ecc30=0)
+
+    def _sysinfo_block(self) -> np.ndarray:
+        pdu = SysinfoPDU(main_carrier=self.cfg.main_carrier,
+                         frequency_band=self.cfg.frequency_band,
+                         location_area=self.cfg.location_area)
+        return cc.encode_channel(pdu.build(), "SCH/HD",
+                                 ecc30=self.cfg.cell_ecc30)
+
+    def _aach_block(self, fn: int, traffic: bool) -> np.ndarray:
+        pdu = AccessAssignPDU(header=3 if traffic else 2,
+                              field1=fn & 0x3F, field2=0)
+        coded = rm3014.encode(pdu.build())
+        seq = scrambling_sequence(self.cfg.cell_ecc30, 30)
+        return coded ^ seq
+
+    def slot_bits(self, tn: int, fn: int, mn: int,
+                  mac_payload: Optional[np.ndarray]) -> np.ndarray:
+        """One 510-bit burst for TDMA position (tn, fn, mn).
+
+        mac_payload: 268 type-1 bits for SCH/F, or None for the sync/idle
+        schedule.
+        """
+        if tn == self.cfg.sync_timeslot:
+            return bursts.build_sb(self._sync_block(tn, fn, mn),
+                                   self._aach_block(fn, traffic=False),
+                                   self._sysinfo_block())
+        if mac_payload is None:
+            k1, _ = cc.CHANNEL_GEOMETRY["SCH/F"]
+            mac_payload = np.zeros(k1, np.uint8)      # null/idle block
+            traffic = False
+        else:
+            traffic = True
+        coded = cc.encode_channel(mac_payload, "SCH/F",
+                                  ecc30=self.cfg.cell_ecc30)
+        return bursts.build_ndb(coded[:216], self._aach_block(fn, traffic),
+                                coded[216:], training=1)
+
+    def stream_bits(self, num_slots: int,
+                    payloads: Optional[Dict[int, np.ndarray]] = None
+                    ) -> np.ndarray:
+        """Concatenate `num_slots` slots starting at the configured TDMA
+        origin; `payloads` maps stream slot index -> 268 SCH/F type-1 bits."""
+        payloads = payloads or {}
+        tn, fn, mn = self.cfg.start_tn, self.cfg.start_fn, self.cfg.start_mn
+        out = []
+        for k in range(num_slots):
+            out.append(self.slot_bits(tn, fn, mn, payloads.get(k)))
+            tn, fn, mn = advance_tdma(tn, fn, mn, 1)
+        return np.concatenate(out) if out else np.zeros(0, np.uint8)
+
+    def modulate(self, bits: np.ndarray,
+                 sample_rate: float = C.DEFAULT_SAMPLE_RATE_HZ,
+                 snr_db: float | None = None, seed: int = 0,
+                 lead_symbols: int = 12) -> np.ndarray:
+        """Bit stream -> continuous-phase π/4-DQPSK IQ at `sample_rate`."""
+        rng = np.random.default_rng(seed)
+        lead = rng.integers(0, 2, 2 * lead_symbols).astype(np.uint8)
+        syms = synth.bits_to_symbols(np.concatenate([lead, bits]))
+        phasors = synth.synthesize_symbol_phasors(syms, mapping="pi4")
+        x = synth.upsample_hold(phasors, sample_rate, C.SYMBOL_RATE_HZ)
+        if snr_db is not None:
+            std = 10 ** (-snr_db / 20) / np.sqrt(2)
+            x = x + std * (rng.standard_normal(len(x))
+                           + 1j * rng.standard_normal(len(x)))
+        return x.astype(np.complex64)
+
+
+# ---------------------------------------------------------------------------
+# Receiver
+# ---------------------------------------------------------------------------
+
+def _pattern_corr(hard_bits: np.ndarray, pattern: np.ndarray) -> np.ndarray:
+    """Match fraction of `pattern` at every stream position (host, O(N·1)
+    via FFT-free sliding sums — acquisition runs once per stream; the
+    per-slot hot path uses fixed offsets afterwards)."""
+    n, m = hard_bits.size, pattern.size
+    if n < m:
+        return np.zeros(0, np.float32)
+    x = hard_bits.astype(np.float32) * 2 - 1
+    p = pattern.astype(np.float32) * 2 - 1
+    out = np.correlate(x, p, mode="valid")
+    return (m + out) / (2 * m)
+
+
+class DownlinkReceiver:
+    """Blind cell acquisition + slot-grid decode over a soft-bit stream."""
+
+    STS_THRESHOLD = 0.87          # 33/38 midamble bits
+
+    def __init__(self, config: ReceiverConfig | None = None):
+        self.rx = EtsiReceiver(config)
+        self.parser = TetraProtocolParser()
+
+    # --- bit-level entry (unit tests / hard-decision paths) ---
+    def receive_bits(self, bits: np.ndarray) -> List[DownlinkFrame]:
+        llrs = np.asarray(bits).astype(np.float32) * 2 - 1
+        return self.receive_soft(llrs)
+
+    # --- IQ entry ---
+    def receive(self, iq, freq_offset: float = 0.0) -> List[DownlinkFrame]:
+        res = self.rx(iq, freq_offset)
+        count = int(res.count)
+        if count < 2:
+            return []
+        soft = np.asarray(res.soft_bits)[:count - 1].reshape(-1)
+        return self.receive_soft(soft)
+
+    # --- core ---
+    def receive_soft(self, llrs: np.ndarray) -> List[DownlinkFrame]:
+        hard = (llrs > 0).astype(np.uint8)
+        corr = _pattern_corr(hard, bursts.STS)
+        if corr.size == 0:
+            return []
+
+        # acquisition: first STS hit above threshold with a decodable BSCH
+        anchor = None
+        sync_pdu = None
+        for pos in np.flatnonzero(corr >= self.STS_THRESHOLD):
+            start = int(pos) - bursts.MIDAMBLE_POS
+            if start < 0 or start + SLOT_BITS > llrs.size:
+                continue
+            pdu = self._try_bsch(llrs[start:start + SLOT_BITS])
+            if pdu is not None:
+                anchor, sync_pdu = start, pdu
+                break
+        if anchor is None:
+            return []
+
+        cell_ecc = extended_colour_code(sync_pdu.mcc, sync_pdu.mnc,
+                                        sync_pdu.colour_code)
+        # back up to the earliest full slot on the grid
+        first = anchor % SLOT_BITS if anchor >= SLOT_BITS else anchor
+        slots_before = (anchor - first) // SLOT_BITS
+        tn0, fn0, mn0 = sync_pdu.timeslot + 1, sync_pdu.frame_number, \
+            sync_pdu.multiframe_number
+        # TDMA coordinates of the first full slot (rewind the anchor's)
+        back = slots_before
+        tn0, fn0, mn0 = advance_tdma(
+            tn0, fn0, mn0,
+            -back % (SLOTS_PER_FRAME * FRAMES_PER_MF * 60))
+
+        frames: List[DownlinkFrame] = []
+        tn, fn, mn = tn0, fn0, mn0
+        idx = 0
+        pos = first
+        while pos + SLOT_BITS <= llrs.size:
+            frames.append(self._decode_slot(
+                llrs[pos:pos + SLOT_BITS], idx, tn, fn, mn, cell_ecc))
+            tn, fn, mn = advance_tdma(tn, fn, mn, 1)
+            idx += 1
+            pos += SLOT_BITS
+        return frames
+
+    # --- helpers ---
+    def _try_bsch(self, slot_llrs: np.ndarray) -> Optional[SyncPDU]:
+        lo, hi = bursts.SB_FIELDS["sb1"]
+        dec = cc.decode_channel_soft(jnp.asarray(slot_llrs[lo:hi]),
+                                     "BSCH", ecc30=0)
+        if not bool(dec.crc_ok):
+            return None
+        return SyncPDU.parse(np.asarray(dec.bits))
+
+    def _decode_slot(self, slot: np.ndarray, idx: int, tn: int, fn: int,
+                     mn: int, cell_ecc: int) -> DownlinkFrame:
+        hard = (slot > 0).astype(np.uint8)
+        kind = bursts.classify_burst(hard)
+        sliced_fields = (bursts.SB_FIELDS if kind == "SB"
+                         else bursts.NDB_FIELDS)
+
+        # AACH (scrambled with the cell code) — ML matmul decode
+        if kind == "SB":
+            lo, hi = sliced_fields["bb"]
+            bb = slot[lo:hi]
+        else:
+            l1, h1 = sliced_fields["bb1"]
+            l2, h2 = sliced_fields["bb2"]
+            bb = np.concatenate([slot[l1:h1], slot[l2:h2]])
+        seq = scrambling_sequence(cell_ecc, 30).astype(np.float32)
+        bb_descr = bb * (1.0 - 2.0 * seq)
+        aach_bits, margin = rm3014.decode_soft(jnp.asarray(bb_descr))
+        aach = AccessAssignPDU.parse(np.asarray(aach_bits))
+
+        if kind == "SB":
+            sync_pdu = self._try_bsch(slot)
+            lo, hi = sliced_fields["bkn2"]
+            dec = cc.decode_channel_soft(jnp.asarray(slot[lo:hi]),
+                                         "SCH/HD", ecc30=cell_ecc)
+            crc_ok = bool(dec.crc_ok)
+            sysinfo = None
+            if crc_ok:
+                bits = np.asarray(dec.bits)
+                if bits[0] == 1 and bits[1] == 0 and bits[2] == 0 \
+                        and bits[3] == 0:
+                    sysinfo = SysinfoPDU.parse(bits)
+            return DownlinkFrame(idx, tn, fn, mn, kind, "BSCH+SCH/HD",
+                                 crc_ok and sync_pdu is not None, aach,
+                                 float(margin), sync_pdu=sync_pdu,
+                                 sysinfo=sysinfo)
+
+        # NDB: SCH/F across both blocks
+        l1, h1 = sliced_fields["bkn1"]
+        l2, h2 = sliced_fields["bkn2"]
+        coded = np.concatenate([slot[l1:h1], slot[l2:h2]])
+        dec = cc.decode_channel_soft(jnp.asarray(coded), "SCH/F",
+                                     ecc30=cell_ecc)
+        crc_ok = bool(dec.crc_ok)
+        mac_bits = np.asarray(dec.bits)
+        mac_pdu = None
+        sds = None
+        if crc_ok and mac_bits.any():
+            try:
+                mac_pdu = self.parser.parse_mac_pdu(mac_bits)
+                data = getattr(mac_pdu, "data", None)
+                if data:
+                    sds = self.parser.parse_sds_data(bytes(data))
+            except Exception:
+                mac_pdu = None
+        return DownlinkFrame(idx, tn, fn, mn, kind, "SCH/F", crc_ok, aach,
+                             float(margin), mac_bits=mac_bits,
+                             mac_pdu=mac_pdu, sds_message=sds)

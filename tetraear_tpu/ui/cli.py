@@ -11,6 +11,7 @@ log streams.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 from datetime import datetime
@@ -391,6 +392,13 @@ def main(argv=None) -> int:
   tetraear_tpu scan 390 392 --synthetic             # band scan
 """,
         formatter_class=argparse.RawDescriptionHelpFormatter)
+    parser.add_argument(
+        "--platform", type=str, default=os.environ.get(
+            "TETRAEAR_TPU_PLATFORM", "auto"),
+        choices=["auto", "cpu", "tpu"],
+        help="accelerator selection: auto probes the default backend with a "
+             "watchdogged digest pull and falls back to CPU if it cannot "
+             "execute (this host's remote-TPU tunnel degrades intermittently)")
     sub = parser.add_subparsers(dest="command")
 
     p_listen = sub.add_parser("listen", help="live/replay decode loop")
@@ -454,6 +462,13 @@ def main(argv=None) -> int:
         parser.print_help()
         return 2
 
+    from tetraear_tpu.utils.backend import apply_platform, resolve_platform
+    resolved = resolve_platform(args.platform)
+    apply_platform(resolved)
+    if resolved == "cpu" and args.platform == "auto":
+        print("note: accelerator backend unavailable/degraded -> CPU "
+              "(override with --platform tpu)", file=sys.stderr)
+
     # persistent XLA compile cache removes the ~1-2 s per-shape compile cost
     # on repeat CLI runs (CPU backend only — the remote-TPU backend's cache
     # serialization is unreliable, see memory notes)
@@ -472,7 +487,8 @@ def main(argv=None) -> int:
     setup_logging(verbose=getattr(args, "verbose", False))
     import logging
     logging.getLogger(__name__).info("Logging to: %s", get_log_dir())
-    return args.func(args)
+    from tetraear_tpu.utils.backend import run_with_cpu_fallback
+    return run_with_cpu_fallback(args.func, args)
 
 
 if __name__ == "__main__":

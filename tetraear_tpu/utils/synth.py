@@ -206,3 +206,22 @@ def bits_to_iq(bits: np.ndarray, sample_rate: float = C.DEFAULT_SAMPLE_RATE_HZ,
     """bits -> dibit symbols -> IQ at the capture rate."""
     return synthesize_iq(bits_to_symbols(bits), sample_rate,
                          freq_offset_hz, snr_db, mapping, seed)
+
+
+def make_mac_block_bits(payload: bytes, address: int = 0x0ABC,
+                        total_bits: int = 268, seed: int = 0) -> np.ndarray:
+    """A type-1 MAC-RESOURCE bit block for the etsi channel coder
+    (SCH/F = 268 bits): clear header | 24-bit address | 6-bit length |
+    payload bytes | random fill.  Unlike make_mac_resource_frame_bits this
+    carries no reference-quirk CRC overlay — the etsi chain protects it
+    with the real CRC-16 block code (ops/channel_coding.py)."""
+    rng = np.random.default_rng(seed)
+    head = np.concatenate([
+        np.zeros(5, np.uint8),                      # type=00, clear, fill=0
+        _uint_to_bits(address, 24), _uint_to_bits(len(payload), 6),
+        np.unpackbits(np.frombuffer(payload, np.uint8)) if payload
+        else np.zeros(0, np.uint8)])
+    if head.size > total_bits:
+        raise ValueError("payload too long for the block")
+    fill = rng.integers(0, 2, total_bits - head.size).astype(np.uint8)
+    return np.concatenate([head, fill])
