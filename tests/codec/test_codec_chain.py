@@ -112,3 +112,24 @@ class TestCaptureLoopVoice:
         loop.run(max_chunks=5)
         assert len(voice_chunks) >= 1
         assert all(v.size == 480 for v in voice_chunks)
+
+
+class TestDownlinkVoiceChain:
+    def test_tch_s_downlink_to_pcm(self, vp, rng):
+        """Full stack: vocoder bits -> downlink TCH/S slots -> blind RX ->
+        codec block -> subprocess chain -> PCM.  The reference can only do
+        this with its heuristic slot slicing (ui/modern.py:2309); here the
+        bits ride the real burst/scramble/interleave chain."""
+        from tetraear_tpu.models.downlink import (DownlinkConfig,
+                                                  DownlinkReceiver,
+                                                  DownlinkTransmitter)
+        voc = rng.integers(0, 2, (2, 432)).astype(np.uint8)
+        tx = DownlinkTransmitter(DownlinkConfig())
+        bits = tx.stream_bits(12, tch_streams={3: ("TCH/S", voc, 1)})
+        frames = DownlinkReceiver().receive_bits(bits)
+        voice = [f for f in frames if f.voice_block is not None]
+        assert len(voice) == 2
+        for f in voice:
+            audio = vp.decode_frame(f.voice_block)
+            assert audio is not None and audio.shape == (480,)
+            assert 0.01 < float(np.max(np.abs(audio))) <= 1.0

@@ -65,7 +65,7 @@ class TestBitLevelRoundTrip:
                                                     seed=k))
                 assert f.mac_pdu is not None
                 assert bytes(f.mac_pdu.data) == f"SLOT {k}".encode()
-                assert f.aach.downlink_usage == "traffic"
+                assert f.aach.downlink_usage == "common_control"
 
     def test_tdma_coordinates_advance(self, cell):
         tx = DownlinkTransmitter(cell)
@@ -118,6 +118,65 @@ class TestBitLevelRoundTrip:
             DownlinkTransmitter(b).stream_bits(4, pay))
         sb = [f for f in frames_b if f.sync_pdu][0]
         assert (sb.sync_pdu.mnc, sb.sync_pdu.colour_code) == (2, 9)
+
+
+class TestTraffic:
+    def test_tch_s_voice_slots(self, cell):
+        from tetraear_tpu.audio.blocks import validate_block
+        rng = np.random.default_rng(0)
+        voc = rng.integers(0, 2, (3, 432)).astype(np.uint8)
+        tx = DownlinkTransmitter(cell)
+        bits = tx.stream_bits(16, tch_streams={3: ("TCH/S", voc, 1)})
+        rx = DownlinkReceiver(traffic_channel="TCH/S")
+        frames = rx.receive_bits(bits)
+        voice = [f for f in frames if f.voice_block is not None]
+        assert len(voice) == 3
+        assert all(f.tn == 3 for f in voice)
+        assert all(f.aach.downlink_usage == "traffic" for f in voice)
+        for f, blk in zip(voice, voc):
+            assert validate_block(f.voice_block)
+            shorts = np.frombuffer(f.voice_block, "<i2")
+            soft = np.concatenate([shorts[lo:hi] for lo, hi in
+                                   ((1, 115), (116, 230), (231, 345),
+                                    (346, 436))])[:432]
+            np.testing.assert_array_equal((soft > 0).astype(np.uint8), blk)
+
+    def test_tch48_depth4_stream(self, cell):
+        rng = np.random.default_rng(1)
+        blocks = rng.integers(0, 2, (5, 288)).astype(np.uint8)
+        tx = DownlinkTransmitter(cell)
+        # 5 blocks @ depth 4 -> 8 burst blocks on TN 2 -> need 8 frames
+        bits = tx.stream_bits(32, tch_streams={2: ("TCH/4.8", blocks, 4)})
+        rx = DownlinkReceiver(traffic_channel="TCH/4.8", traffic_depth=4)
+        frames = rx.receive_bits(bits)
+        out = rx.decode_traffic_stream(frames, tn=2)
+        assert out.shape == (5, 288)
+        np.testing.assert_array_equal(out, blocks)
+
+    def test_tch72_inline_bits(self, cell):
+        rng = np.random.default_rng(2)
+        blocks = rng.integers(0, 2, (2, 432)).astype(np.uint8)
+        tx = DownlinkTransmitter(cell)
+        bits = tx.stream_bits(12, tch_streams={4: ("TCH/7.2", blocks, 1)})
+        rx = DownlinkReceiver(traffic_channel="TCH/7.2")
+        frames = rx.receive_bits(bits)
+        got = [f.tch_bits for f in frames if f.tch_bits is not None]
+        assert len(got) == 2
+        np.testing.assert_array_equal(np.stack(got), blocks)
+
+    def test_traffic_and_signalling_coexist(self, cell):
+        rng = np.random.default_rng(3)
+        voc = rng.integers(0, 2, (2, 432)).astype(np.uint8)
+        pay = {1: make_mac_block_bits(b"MIXED"), 5: make_mac_block_bits(
+            b"MIXED")}
+        tx = DownlinkTransmitter(cell)
+        bits = tx.stream_bits(12, payloads=pay,
+                              tch_streams={3: ("TCH/S", voc, 1)})
+        frames = DownlinkReceiver().receive_bits(bits)
+        assert sum(f.voice_block is not None for f in frames) == 2
+        sds = [f for f in frames if f.mac_pdu is not None
+               and bytes(f.mac_pdu.data) == b"MIXED"]
+        assert len(sds) == 2
 
 
 class TestIQRoundTrip:

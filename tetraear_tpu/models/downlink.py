@@ -95,7 +95,7 @@ class DownlinkFrame:
     fn: int
     mn: int
     burst_kind: str               # "SB" | "NDB"
-    channel: str                  # "BSCH+SCH/HD" | "SCH/F" | ...
+    channel: str                  # "BSCH+SCH/HD" | "SCH/F" | "TCH/..."
     crc_ok: bool
     aach: Optional[AccessAssignPDU]
     aach_margin: float
@@ -104,6 +104,9 @@ class DownlinkFrame:
     mac_bits: Optional[np.ndarray] = None
     mac_pdu: Optional[object] = None
     sds_message: Optional[str] = None
+    tch_llrs: Optional[np.ndarray] = None   # raw 432 coded soft bits
+    tch_bits: Optional[np.ndarray] = None   # depth-1 decoded traffic bits
+    voice_block: Optional[bytes] = None     # TCH/S: 690-short codec block
 
 
 class DownlinkTransmitter:
@@ -134,37 +137,65 @@ class DownlinkTransmitter:
         return coded ^ seq
 
     def slot_bits(self, tn: int, fn: int, mn: int,
-                  mac_payload: Optional[np.ndarray]) -> np.ndarray:
+                  mac_payload: Optional[np.ndarray] = None,
+                  tch_coded: Optional[np.ndarray] = None) -> np.ndarray:
         """One 510-bit burst for TDMA position (tn, fn, mn).
 
-        mac_payload: 268 type-1 bits for SCH/F, or None for the sync/idle
-        schedule.
+        mac_payload: 268 type-1 bits for SCH/F; tch_coded: a 432-bit
+        type-5 traffic block (already channel-coded, see encode_tch);
+        neither -> sync/idle schedule.
         """
         if tn == self.cfg.sync_timeslot:
             return bursts.build_sb(self._sync_block(tn, fn, mn),
                                    self._aach_block(fn, traffic=False),
                                    self._sysinfo_block())
+        if tch_coded is not None:
+            assert mac_payload is None, "slot carries SCH/F or TCH, not both"
+            coded = np.asarray(tch_coded).astype(np.uint8)
+            assert coded.size == 432
+            return bursts.build_ndb(coded[:216],
+                                    self._aach_block(fn, traffic=True),
+                                    coded[216:], training=2)
         if mac_payload is None:
             k1, _ = cc.CHANNEL_GEOMETRY["SCH/F"]
             mac_payload = np.zeros(k1, np.uint8)      # null/idle block
-            traffic = False
-        else:
-            traffic = True
         coded = cc.encode_channel(mac_payload, "SCH/F",
                                   ecc30=self.cfg.cell_ecc30)
-        return bursts.build_ndb(coded[:216], self._aach_block(fn, traffic),
+        return bursts.build_ndb(coded[:216],
+                                self._aach_block(fn, traffic=False),
                                 coded[216:], training=1)
 
     def stream_bits(self, num_slots: int,
-                    payloads: Optional[Dict[int, np.ndarray]] = None
+                    payloads: Optional[Dict[int, np.ndarray]] = None,
+                    tch_streams: Optional[Dict[int, Tuple[str, np.ndarray,
+                                                          int]]] = None
                     ) -> np.ndarray:
         """Concatenate `num_slots` slots starting at the configured TDMA
-        origin; `payloads` maps stream slot index -> 268 SCH/F type-1 bits."""
+        origin.
+
+        payloads: stream slot index -> 268 SCH/F type-1 bits.
+        tch_streams: TN -> (channel, type1 blocks (M, k1), depth); that
+        timeslot becomes a traffic channel, its blocks channel-coded
+        (encode_tch, diagonal over `depth` bursts) and mapped to the TN's
+        successive slots (one burst block per frame — the physical-channel
+        axis the §8.2.4.2 interleaver runs along).
+        """
         payloads = payloads or {}
+        tch_streams = tch_streams or {}
+        coded_tch: Dict[int, List[np.ndarray]] = {}
+        for t, (channel, blocks, depth) in tch_streams.items():
+            assert t != self.cfg.sync_timeslot
+            coded = cc.encode_tch(blocks, channel,
+                                  ecc30=self.cfg.cell_ecc30, depth=depth)
+            coded_tch[t] = list(coded)
+
         tn, fn, mn = self.cfg.start_tn, self.cfg.start_fn, self.cfg.start_mn
         out = []
         for k in range(num_slots):
-            out.append(self.slot_bits(tn, fn, mn, payloads.get(k)))
+            tch = None
+            if tn in coded_tch and coded_tch[tn]:
+                tch = coded_tch[tn].pop(0)
+            out.append(self.slot_bits(tn, fn, mn, payloads.get(k), tch))
             tn, fn, mn = advance_tdma(tn, fn, mn, 1)
         return np.concatenate(out) if out else np.zeros(0, np.uint8)
 
@@ -207,9 +238,18 @@ class DownlinkReceiver:
 
     STS_THRESHOLD = 0.87          # 33/38 midamble bits
 
-    def __init__(self, config: ReceiverConfig | None = None):
+    def __init__(self, config: ReceiverConfig | None = None,
+                 traffic_channel: str = "TCH/S", traffic_depth: int = 1):
+        """traffic_channel/traffic_depth: how AACH-marked traffic slots are
+        decoded (in a live system this arrives via call-setup signalling;
+        here it is receiver configuration).  Depth-1 channels decode
+        inline; deeper interleaving is resolved per-TN afterwards with
+        decode_traffic_stream()."""
         self.rx = EtsiReceiver(config)
         self.parser = TetraProtocolParser()
+        self.traffic_channel = traffic_channel
+        self.traffic_depth = traffic_depth
+        self.last_cell_ecc: Optional[int] = None
 
     # --- bit-level entry (unit tests / hard-decision paths) ---
     def receive_bits(self, bits: np.ndarray) -> List[DownlinkFrame]:
@@ -248,6 +288,7 @@ class DownlinkReceiver:
 
         cell_ecc = extended_colour_code(sync_pdu.mcc, sync_pdu.mnc,
                                         sync_pdu.colour_code)
+        self.last_cell_ecc = cell_ecc
         # back up to the earliest full slot on the grid
         first = anchor % SLOT_BITS if anchor >= SLOT_BITS else anchor
         slots_before = (anchor - first) // SLOT_BITS
@@ -259,16 +300,10 @@ class DownlinkReceiver:
             tn0, fn0, mn0,
             -back % (SLOTS_PER_FRAME * FRAMES_PER_MF * 60))
 
-        frames: List[DownlinkFrame] = []
-        tn, fn, mn = tn0, fn0, mn0
-        idx = 0
-        pos = first
-        while pos + SLOT_BITS <= llrs.size:
-            frames.append(self._decode_slot(
-                llrs[pos:pos + SLOT_BITS], idx, tn, fn, mn, cell_ecc))
-            tn, fn, mn = advance_tdma(tn, fn, mn, 1)
-            idx += 1
-            pos += SLOT_BITS
+        n_slots = (llrs.size - first) // SLOT_BITS
+        slots = llrs[first:first + n_slots * SLOT_BITS] \
+            .reshape(n_slots, SLOT_BITS).astype(np.float32)
+        frames = self._decode_slots_batched(slots, cell_ecc, tn0, fn0, mn0)
         return frames
 
     # --- helpers ---
@@ -280,61 +315,142 @@ class DownlinkReceiver:
             return None
         return SyncPDU.parse(np.asarray(dec.bits))
 
-    def _decode_slot(self, slot: np.ndarray, idx: int, tn: int, fn: int,
-                     mn: int, cell_ecc: int) -> DownlinkFrame:
-        hard = (slot > 0).astype(np.uint8)
-        kind = bursts.classify_burst(hard)
-        sliced_fields = (bursts.SB_FIELDS if kind == "SB"
-                         else bursts.NDB_FIELDS)
+    def _decode_slots_batched(self, slots: np.ndarray, cell_ecc: int,
+                              tn0: int, fn0: int,
+                              mn0: int) -> List[DownlinkFrame]:
+        """Decode all slots with a handful of batched device calls.
 
-        # AACH (scrambled with the cell code) — ML matmul decode
-        if kind == "SB":
-            lo, hi = sliced_fields["bb"]
-            bb = slot[lo:hi]
-        else:
-            l1, h1 = sliced_fields["bb1"]
-            l2, h2 = sliced_fields["bb2"]
-            bb = np.concatenate([slot[l1:h1], slot[l2:h2]])
+        The TPU-shaped hot path: one RM(30,14) matmul decodes every AACH
+        in the capture, one batched Viterbi per channel group (BSCH,
+        SCH/HD, SCH/F, TCH) covers all slots of that kind — instead of a
+        per-slot dispatch loop.  Host code only slices fields and
+        assembles the (data-dependent) PDU results, per the SURVEY §7
+        device/host split.
+        """
+        n = slots.shape[0]
+        if n == 0:
+            return []
+        hard = (slots > 0).astype(np.uint8)
+
+        # classification (vectorized host compare — trivially cheap)
+        sts_score = (hard[:, 244:282] == bursts.STS).sum(1)
+        n_score = (hard[:, 244:266] == bursts.NTS1).sum(1)
+        p_score = (hard[:, 244:266] == bursts.NTS2).sum(1)
+        is_sb = sts_score >= np.maximum(n_score, p_score) + 8
+
+        # AACH for every slot: one (n, 30) x (30, 16384) matmul
+        bb = np.where(is_sb[:, None], slots[:, 214:244],
+                      np.concatenate([slots[:, 230:244],
+                                      slots[:, 266:282]], axis=1))
         seq = scrambling_sequence(cell_ecc, 30).astype(np.float32)
-        bb_descr = bb * (1.0 - 2.0 * seq)
-        aach_bits, margin = rm3014.decode_soft(jnp.asarray(bb_descr))
-        aach = AccessAssignPDU.parse(np.asarray(aach_bits))
+        aach_bits, margins = rm3014.decode_soft(jnp.asarray(bb * (1 - 2 * seq)))
+        aach_bits = np.asarray(aach_bits)
+        margins = np.asarray(margins)
+        aachs = [AccessAssignPDU.parse(aach_bits[i]) for i in range(n)]
 
-        if kind == "SB":
-            sync_pdu = self._try_bsch(slot)
-            lo, hi = sliced_fields["bkn2"]
-            dec = cc.decode_channel_soft(jnp.asarray(slot[lo:hi]),
-                                         "SCH/HD", ecc30=cell_ecc)
-            crc_ok = bool(dec.crc_ok)
-            sysinfo = None
-            if crc_ok:
-                bits = np.asarray(dec.bits)
-                if bits[0] == 1 and bits[1] == 0 and bits[2] == 0 \
-                        and bits[3] == 0:
-                    sysinfo = SysinfoPDU.parse(bits)
-            return DownlinkFrame(idx, tn, fn, mn, kind, "BSCH+SCH/HD",
-                                 crc_ok and sync_pdu is not None, aach,
-                                 float(margin), sync_pdu=sync_pdu,
-                                 sysinfo=sysinfo)
+        ndb_coded = np.concatenate([slots[:, 14:230], slots[:, 282:498]],
+                                   axis=1)
+        is_traffic = np.array([(not is_sb[i]) and
+                               aachs[i].downlink_usage == "traffic"
+                               for i in range(n)])
+        sb_idx = np.flatnonzero(is_sb)
+        schf_idx = np.flatnonzero(~is_sb & ~is_traffic)
+        tch_idx = np.flatnonzero(is_traffic)
 
-        # NDB: SCH/F across both blocks
-        l1, h1 = sliced_fields["bkn1"]
-        l2, h2 = sliced_fields["bkn2"]
-        coded = np.concatenate([slot[l1:h1], slot[l2:h2]])
-        dec = cc.decode_channel_soft(jnp.asarray(coded), "SCH/F",
-                                     ecc30=cell_ecc)
-        crc_ok = bool(dec.crc_ok)
-        mac_bits = np.asarray(dec.bits)
-        mac_pdu = None
-        sds = None
-        if crc_ok and mac_bits.any():
-            try:
-                mac_pdu = self.parser.parse_mac_pdu(mac_bits)
-                data = getattr(mac_pdu, "data", None)
-                if data:
-                    sds = self.parser.parse_sds_data(bytes(data))
-            except Exception:
+        # batched channel decodes (one per group)
+        sb_res = {}
+        if sb_idx.size:
+            bsch = cc.decode_channel_soft(
+                jnp.asarray(slots[sb_idx, 94:214]), "BSCH", ecc30=0)
+            schd = cc.decode_channel_soft(
+                jnp.asarray(slots[sb_idx, 282:498]), "SCH/HD",
+                ecc30=cell_ecc)
+            sb_res = {"bsch_bits": np.asarray(bsch.bits),
+                      "bsch_ok": np.asarray(bsch.crc_ok),
+                      "schd_bits": np.asarray(schd.bits),
+                      "schd_ok": np.asarray(schd.crc_ok)}
+        schf_res = {}
+        if schf_idx.size:
+            dec = cc.decode_channel_soft(
+                jnp.asarray(ndb_coded[schf_idx]), "SCH/F", ecc30=cell_ecc)
+            schf_res = {"bits": np.asarray(dec.bits),
+                        "ok": np.asarray(dec.crc_ok)}
+        tch_out = None
+        if tch_idx.size and self.traffic_depth == 1:
+            tch_out = np.asarray(cc.decode_tch_soft(
+                jnp.asarray(ndb_coded[tch_idx]), self.traffic_channel,
+                ecc30=cell_ecc, depth=1))
+
+        # host assembly in slot order
+        sb_pos = {int(s): j for j, s in enumerate(sb_idx)}
+        schf_pos = {int(s): j for j, s in enumerate(schf_idx)}
+        tch_pos = {int(s): j for j, s in enumerate(tch_idx)}
+        frames: List[DownlinkFrame] = []
+        tn, fn, mn = tn0, fn0, mn0
+        for i in range(n):
+            aach = aachs[i]
+            margin = float(margins[i])
+            if i in sb_pos:
+                j = sb_pos[i]
+                sync_pdu = (SyncPDU.parse(sb_res["bsch_bits"][j])
+                            if sb_res["bsch_ok"][j] else None)
+                sysinfo = None
+                crc_ok = bool(sb_res["schd_ok"][j]) and sync_pdu is not None
+                if sb_res["schd_ok"][j]:
+                    bits = sb_res["schd_bits"][j]
+                    if tuple(bits[:4]) == (1, 0, 0, 0):
+                        sysinfo = SysinfoPDU.parse(bits)
+                frames.append(DownlinkFrame(
+                    i, tn, fn, mn, "SB", "BSCH+SCH/HD", crc_ok, aach,
+                    margin, sync_pdu=sync_pdu, sysinfo=sysinfo))
+            elif i in tch_pos:
+                frame = DownlinkFrame(
+                    i, tn, fn, mn, "NDB", self.traffic_channel, True, aach,
+                    margin, tch_llrs=ndb_coded[i])
+                if tch_out is not None:
+                    arr = tch_out[tch_pos[i]]
+                    if self.traffic_channel == "TCH/S":
+                        from tetraear_tpu.audio.blocks import \
+                            block_from_soft_llrs
+                        frame.voice_block = block_from_soft_llrs(arr)
+                    else:
+                        frame.tch_bits = arr
+                frames.append(frame)
+            else:
+                j = schf_pos[i]
+                crc_ok = bool(schf_res["ok"][j])
+                mac_bits = schf_res["bits"][j]
                 mac_pdu = None
-        return DownlinkFrame(idx, tn, fn, mn, kind, "SCH/F", crc_ok, aach,
-                             float(margin), mac_bits=mac_bits,
-                             mac_pdu=mac_pdu, sds_message=sds)
+                sds = None
+                if crc_ok and mac_bits.any():
+                    try:
+                        mac_pdu = self.parser.parse_mac_pdu(mac_bits)
+                        data = getattr(mac_pdu, "data", None)
+                        if data:
+                            sds = self.parser.parse_sds_data(bytes(data))
+                    except Exception:
+                        mac_pdu = None
+                frames.append(DownlinkFrame(
+                    i, tn, fn, mn, "NDB", "SCH/F", crc_ok, aach, margin,
+                    mac_bits=mac_bits, mac_pdu=mac_pdu, sds_message=sds))
+            tn, fn, mn = advance_tdma(tn, fn, mn, 1)
+        return frames
+
+    def decode_traffic_stream(self, frames: Sequence[DownlinkFrame],
+                              tn: int, cell_ecc: Optional[int] = None,
+                              channel: Optional[str] = None,
+                              depth: Optional[int] = None) -> np.ndarray:
+        """Resolve an N-burst-interleaved traffic channel from the decoded
+        slot sequence of one TN.  Returns (M, k1) bits (or (M, 432) soft
+        values for TCH/S); missing/non-traffic slots become erasures."""
+        channel = channel or self.traffic_channel
+        depth = depth or self.traffic_depth
+        if cell_ecc is None:
+            cell_ecc = self.last_cell_ecc
+        assert cell_ecc is not None, "no cell acquired yet"
+        slots = [f for f in frames if f.tn == tn and f.tch_llrs is not None]
+        if len(slots) < depth:
+            return np.zeros((0, cc.TCH_GEOMETRY[channel][0]), np.uint8)
+        stack = jnp.asarray(np.stack([f.tch_llrs for f in slots]))
+        return np.asarray(cc.decode_tch_soft(stack, channel,
+                                             ecc30=cell_ecc, depth=depth))

@@ -84,3 +84,84 @@ def decode_channel_hard(bits: jnp.ndarray, channel: str = "SCH/F",
     """Hard-bit convenience wrapper: {0,1} -> +/-1 LLRs."""
     llrs = bits.astype(jnp.float32) * 2.0 - 1.0
     return decode_channel_soft(llrs, channel, ecc30)
+
+
+# ---------------------------------------------------------------------------
+# Traffic channels (EN 300 392-2 §8 table 8.1 geometries).  No CRC — TCH
+# quality is BER-bounded, not block-gated.  TCH/S ("speech") carries the
+# vocoder's own 432 coded bits: the ETSI ACELP channel coder/decoder
+# (ccoder/cdecoder, audio/voice.py contract) performs the FEC, so the air
+# chain outside the codec is interleave + scramble only — exactly what the
+# reference's voice path assumes when it feeds 432 soft bits straight into
+# cdecoder (ui/modern.py:2369-2417).
+#
+#     TCH/7.2   432 type-1 -> 432   (no FEC; scramble only)
+#     TCH/4.8   288 type-1 -> +4 tail, RCPC 292->432, N-burst interleave
+#     TCH/2.4   144 type-1 -> +4 tail, RCPC 148->432, N-burst interleave
+#     TCH/S     432 type-3 (vocoder) -> block interleave + scramble
+#
+# N-burst depth: 1, 4 or 8 (§8.2.4.2); see ops/interleave.py.
+# ---------------------------------------------------------------------------
+
+TCH_GEOMETRY = {
+    # name: (type1_bits, air_bits_per_burst_block)
+    "TCH/7.2": (432, 432),
+    "TCH/4.8": (288, 432),
+    "TCH/2.4": (144, 432),
+    "TCH/S": (432, 432),
+}
+
+
+def _scramble_blocks(blocks: np.ndarray, ecc30: int) -> np.ndarray:
+    seq = scr.scrambling_sequence(ecc30, blocks.shape[-1])
+    return (blocks ^ seq).astype(np.uint8)
+
+
+def encode_tch(type1_blocks: np.ndarray, channel: str, ecc30: int = 0,
+               depth: int = 1) -> np.ndarray:
+    """Host-side traffic encode: (M, k1) -> (M + depth - 1, 432) type-5.
+
+    depth > 1 (only meaningful for TCH/4.8 and TCH/2.4) spreads each coded
+    block diagonally over `depth` burst blocks.
+    """
+    k1, air = TCH_GEOMETRY[channel]
+    blocks = np.atleast_2d(np.asarray(type1_blocks)).astype(np.uint8) & 1
+    assert blocks.shape[-1] == k1, (blocks.shape, k1)
+
+    if channel == "TCH/7.2":
+        assert depth == 1
+        return _scramble_blocks(blocks, ecc30)
+    if channel == "TCH/S":
+        assert depth == 1
+        t4 = np.asarray(il.interleave(jnp.asarray(blocks), "SCH/F"))
+        return _scramble_blocks(t4, ecc30)
+
+    t3 = np.stack([vit.encode_punctured(b, air) for b in blocks])
+    t4 = il.interleave_multiburst(t3, depth, "SCH/F")
+    return _scramble_blocks(t4, ecc30)
+
+
+def decode_tch_soft(llr_blocks: jnp.ndarray, channel: str, ecc30: int = 0,
+                    depth: int = 1) -> jnp.ndarray:
+    """Traffic decode from per-burst soft bits (llr > 0 <=> bit 1).
+
+    llr_blocks: (M + depth - 1, 432) float32.
+    Returns (M, k1) uint8 bits — except TCH/S, which returns (M, 432)
+    descrambled/de-interleaved *soft* values for the vocoder channel
+    decoder (audio/blocks.block_from_soft_llrs feeds them to cdecoder).
+    """
+    k1, air = TCH_GEOMETRY[channel]
+    x = jnp.atleast_2d(llr_blocks)
+    assert x.shape[-1] == air, (x.shape, air)
+    x = scr.scramble_soft(x, ecc30)
+
+    if channel == "TCH/7.2":
+        assert depth == 1
+        return (x > 0).astype(jnp.uint8)
+    if channel == "TCH/S":
+        assert depth == 1
+        return il.deinterleave(x, "SCH/F")
+
+    t3 = jnp.asarray(il.deinterleave_multiburst(np.asarray(x), depth,
+                                                "SCH/F"))
+    return vit.decode_punctured(t3, k1 + 4)

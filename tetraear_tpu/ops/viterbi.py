@@ -158,6 +158,48 @@ def viterbi_decode(llrs: jnp.ndarray, num_input_bits: int,
     return bits.reshape(batch_shape + (bits.shape[-1],))
 
 
+def puncture_indices_general(num_input_bits: int,
+                             num_output_bits: int) -> np.ndarray:
+    """Evenly spread kept mother-bit indices for arbitrary RCPC rates.
+
+    TETRA's traffic channels puncture the rate-1/4 mother code to
+    non-2/3 rates (TCH/4.8: 292 -> 432, TCH/2.4: 148 -> 432, EN 300
+    392-2 §8.2.3.1.3).  The spec's exact index tables need spec access
+    unavailable here (ROUND1.md gap #3); this map keeps the exact spec
+    geometry with a maximal-spread selection k(j) = floor(j·4n/m) —
+    strictly increasing for all TETRA rates (spread > 1), cycling the
+    four generators evenly, and shared verbatim by encoder and decoder
+    so every TX/RX round trip in the repo is self-consistent.
+    """
+    total = RATE_DEN * num_input_bits
+    assert 0 < num_output_bits <= total
+    idx = (np.arange(num_output_bits, dtype=np.int64)
+           * total) // num_output_bits
+    assert np.all(np.diff(idx) > 0)
+    return idx
+
+
+def encode_punctured(bits: np.ndarray, num_output_bits: int) -> np.ndarray:
+    """Host-side tail-terminated encode at an arbitrary punctured rate."""
+    bits = np.asarray(bits)
+    mother = conv_encode(bits, terminate=True)
+    return mother[puncture_indices_general(len(bits) + 4, num_output_bits)]
+
+
+def decode_punctured(llrs: jnp.ndarray, num_input_bits: int) -> jnp.ndarray:
+    """Depuncture (zero-LLR erasures) + Viterbi for arbitrary rates.
+
+    llrs: (..., num_output_bits); num_input_bits includes the 4 tail bits;
+    returns (..., num_input_bits - 4).
+    """
+    idx = jnp.asarray(puncture_indices_general(num_input_bits,
+                                               llrs.shape[-1]))
+    full = jnp.zeros(llrs.shape[:-1] + (RATE_DEN * num_input_bits,),
+                     llrs.dtype)
+    full = full.at[..., idx].set(llrs)
+    return viterbi_decode(full, num_input_bits, terminated=True)
+
+
 def decode_rate_2_3(llrs: jnp.ndarray, num_input_bits: int) -> jnp.ndarray:
     """Depuncture + Viterbi for the rate-2/3 control channels.
 
