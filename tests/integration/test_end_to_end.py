@@ -394,3 +394,27 @@ class TestThroughputMeter:
         assert abs(r["samples_per_sec"] - 240_000 / 0.1) / (240_000 / 0.1) < 0.2
         assert m.total_frames == 20
         assert "MS/s" in m.summary()
+
+
+class TestDownlinkCLI:
+    def test_downlink_simulate_roundtrip(self, tmp_path):
+        out = tmp_path / "dl.jsonl"
+        result = subprocess.run(
+            [sys.executable, "-m", "tetraear_tpu", "downlink", "--simulate",
+             "--slots", "8", "-o", str(out)],
+            capture_output=True, text=True, timeout=300,
+            env={**__import__("os").environ, "PYTHONPATH": str(REPO),
+                 "TETRAEAR_TPU_LOG_DIR": str(tmp_path / "logs"),
+                 "TETRAEAR_TPU_PLATFORM": "cpu"},
+            cwd=str(tmp_path))
+        assert result.returncode == 0, result.stderr[-2000:]
+        assert "[DONE]" in result.stdout
+        assert "MCC=262" in result.stdout
+        assert "voice block" in result.stdout
+        rows = [json.loads(line) for line in out.read_text().splitlines()]
+        assert len(rows) >= 6
+        assert all(r["crc_ok"] for r in rows)
+        sbs = [r for r in rows if r["burst"] == "SB"]
+        assert sbs and all(r["mcc"] == 262 for r in sbs)
+        assert any(r["voice"] for r in rows)
+        assert any(r["sds"] and "DOWNLINK SDS" in r["sds"] for r in rows)

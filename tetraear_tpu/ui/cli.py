@@ -201,6 +201,94 @@ def cmd_listen(args) -> int:
     return 0
 
 
+def cmd_downlink(args) -> int:
+    """Full ETSI downlink decode: blind cell acquisition (BSCH), TDMA
+    tracking, AACH, SCH/F signalling + TCH traffic — the capability layer
+    the reference lacks entirely (models/downlink.py).  With --simulate,
+    synthesizes a downlink capture first and decodes it back."""
+    import json
+
+    import numpy as np
+    from tetraear_tpu.models.downlink import (DownlinkConfig,
+                                              DownlinkReceiver,
+                                              DownlinkTransmitter)
+
+    if args.simulate:
+        from tetraear_tpu.utils.synth import make_mac_block_bits
+        cell = DownlinkConfig()
+        tx = DownlinkTransmitter(cell)
+        rng = np.random.default_rng(0)
+        payloads = {k: make_mac_block_bits(
+            f"{args.message} #{k}".encode()[:30], seed=k)
+            for k in range(args.slots) if k % 4 == 1}
+        voc = rng.integers(0, 2, (max(1, args.slots // 4), 432)
+                           ).astype(np.uint8)
+        bits = tx.stream_bits(args.slots, payloads=payloads,
+                              tch_streams={3: ("TCH/S", voc, 1)})
+        iq = tx.modulate(bits, snr_db=args.snr_db, seed=1)
+        if args.iq_file:
+            iq.tofile(args.iq_file)
+            print(f"[SIM] wrote {len(iq)} samples -> {args.iq_file}")
+    else:
+        if not args.iq_file:
+            print(_c("red", "[FAIL] need an IQ file (or --simulate)"))
+            return 1
+        iq = np.fromfile(args.iq_file, dtype=np.complex64)
+
+    rx = DownlinkReceiver(traffic_channel=args.traffic_channel,
+                          traffic_depth=args.traffic_depth)
+    t0 = time.time()
+    frames = rx.receive(iq, freq_offset=args.freq_offset)
+    dt = time.time() - t0
+    if not frames:
+        print(_c("yellow", "[NO CELL] no decodable synchronization burst"))
+        return 1
+
+    out = None
+    if args.out_jsonl:
+        out = open(args.out_jsonl, "w")
+    crc_pass = 0
+    voice_blocks = 0
+    for f in frames:
+        crc_pass += bool(f.crc_ok)
+        voice_blocks += f.voice_block is not None
+        desc = ""
+        if f.sync_pdu:
+            desc = (f"MCC={f.sync_pdu.mcc} MNC={f.sync_pdu.mnc} "
+                    f"CC={f.sync_pdu.colour_code}")
+        if f.sysinfo:
+            desc += (f" LA={f.sysinfo.location_area} "
+                     f"carrier={f.sysinfo.main_carrier}")
+        if f.mac_pdu is not None:
+            desc = repr(bytes(f.mac_pdu.data))[1:]
+        if f.sds_message:
+            desc += f" {f.sds_message}"
+        if f.voice_block:
+            desc = f"voice block ({len(f.voice_block)} B)"
+        print(f"TN{f.tn} FN{f.fn:2d} MN{f.mn:2d} {f.burst_kind:3s} "
+              f"{f.channel:11s} crc={'Y' if f.crc_ok else 'n'} "
+              f"aach={f.aach.downlink_usage:14s} {desc}")
+        if out:
+            out.write(json.dumps({
+                "slot": f.slot_index, "tn": f.tn, "fn": f.fn, "mn": f.mn,
+                "burst": f.burst_kind, "channel": f.channel,
+                "crc_ok": bool(f.crc_ok),
+                "aach_usage": f.aach.downlink_usage,
+                "mcc": f.sync_pdu.mcc if f.sync_pdu else None,
+                "mnc": f.sync_pdu.mnc if f.sync_pdu else None,
+                "sds": f.sds_message,
+                "mac_data": (bytes(f.mac_pdu.data).hex()
+                             if f.mac_pdu is not None else None),
+                "voice": f.voice_block is not None}) + "\n")
+    if out:
+        out.close()
+        print(f"[OUT] {args.out_jsonl}")
+    rate = len(iq) / max(dt, 1e-9) / 1e6
+    print(f"[DONE] {len(frames)} slots, {crc_pass} CRC-pass, "
+          f"{voice_blocks} voice blocks  [{rate:.2f} MS/s]")
+    return 0
+
+
 def cmd_decode(args) -> int:
     """Offline conformance path: IQ file -> frames JSONL
     (continuous_capture.py:17-148 shape).  With --carriers N the wideband
@@ -444,6 +532,24 @@ def main(argv=None) -> int:
     p_decode.add_argument("-o", "--out-jsonl", type=str, default=None)
     p_decode.add_argument("-v", "--verbose", action="store_true")
     p_decode.set_defaults(func=cmd_decode)
+
+    p_dl = sub.add_parser("downlink",
+                          help="full ETSI downlink decode (BSCH/AACH/TDMA)")
+    p_dl.add_argument("iq_file", type=str, nargs="?", default=None)
+    p_dl.add_argument("--simulate", action="store_true",
+                      help="synthesize a downlink capture and decode it")
+    p_dl.add_argument("--slots", type=int, default=16,
+                      help="slots to simulate")
+    p_dl.add_argument("--snr-db", type=float, default=25.0)
+    p_dl.add_argument("--message", type=str, default="DOWNLINK SDS")
+    p_dl.add_argument("--freq-offset", type=float, default=0.0)
+    p_dl.add_argument("--traffic-channel", type=str, default="TCH/S",
+                      choices=["TCH/S", "TCH/7.2", "TCH/4.8", "TCH/2.4"])
+    p_dl.add_argument("--traffic-depth", type=int, default=1,
+                      choices=[1, 4, 8])
+    p_dl.add_argument("-o", "--out-jsonl", type=str, default=None)
+    p_dl.add_argument("-v", "--verbose", action="store_true")
+    p_dl.set_defaults(func=cmd_downlink)
 
     p_scan = sub.add_parser("scan", help="scan a frequency range")
     p_scan.add_argument("start", type=float, help="start MHz")
