@@ -202,3 +202,43 @@ class TestIQRoundTrip:
         noise = (rng.standard_normal(200_000)
                  + 1j * rng.standard_normal(200_000)).astype(np.complex64)
         assert rx.receive(noise) == []
+
+
+class TestMulticarrierDownlink:
+    def test_three_cells_one_wideband_capture(self):
+        """Three downlink cells on the 25 kHz grid in one wideband capture:
+        each carrier blind-acquires its own cell (identity, SDS, TDMA) —
+        BASELINE config 4 for the etsi profile."""
+        from tetraear_tpu.models.downlink import MulticarrierDownlinkReceiver
+        from tetraear_tpu.ops.channelizer import carrier_grid
+
+        offsets = carrier_grid(3)
+        cells = [DownlinkConfig(mcc=262, mnc=100 + c, colour_code=1 + c)
+                 for c in range(3)]
+        n = None
+        mix = None
+        for c, cfg in enumerate(cells):
+            tx = DownlinkTransmitter(cfg)
+            pay = {k: make_mac_block_bits(f"CELL{c} MSG".encode(), seed=c)
+                   for k in (1, 5)}
+            bits = tx.stream_bits(8, payloads=pay)
+            iq = tx.modulate(bits, seed=c)
+            t = np.arange(len(iq)) / 2.4e6
+            shifted = iq * np.exp(2j * np.pi * offsets[c] * t)
+            mix = shifted if mix is None else mix[:len(shifted)] + \
+                shifted[:len(mix)]
+        mix = (mix / 3).astype(np.complex64)
+
+        rx = MulticarrierDownlinkReceiver(num_carriers=3)
+        per_carrier = rx.receive(mix)
+        assert len(per_carrier) == 3
+        for c in range(3):
+            frames = per_carrier[c]
+            good = [f for f in frames if f.crc_ok]
+            assert len(good) >= 5, f"carrier {c}: {len(good)} good frames"
+            sb = [f for f in good if f.sync_pdu][0]
+            assert sb.sync_pdu.mnc == 100 + c
+            assert sb.sync_pdu.colour_code == 1 + c
+            texts = {bytes(f.mac_pdu.data) for f in good
+                     if f.mac_pdu is not None}
+            assert f"CELL{c} MSG".encode() in texts

@@ -29,6 +29,7 @@ channel decodes) per the SURVEY §7 device/host split.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -454,3 +455,75 @@ class DownlinkReceiver:
         stack = jnp.asarray(np.stack([f.tch_llrs for f in slots]))
         return np.asarray(cc.decode_tch_soft(stack, channel,
                                              ecc30=cell_ecc, depth=depth))
+
+
+# ---------------------------------------------------------------------------
+# Multi-carrier downlink (BASELINE config 4, etsi profile): one wideband
+# capture -> C independent cells, each blind-acquired.  Device side is one
+# jitted program — DDC-bank channelizer + the etsi demod tail vmapped over
+# the carrier axis (the reference can only ever watch one 25 kHz channel,
+# processor.py:264).  Host side walks each carrier's soft bits with the
+# per-cell acquisition/decode above (independent parser state per cell).
+# ---------------------------------------------------------------------------
+
+class MulticarrierDownlinkReceiver:
+    def __init__(self, num_carriers: int,
+                 config: ReceiverConfig | None = None,
+                 spacing_hz: float = 25_000.0,
+                 traffic_channel: str = "TCH/S", traffic_depth: int = 1):
+        import dataclasses
+
+        from tetraear_tpu.ops import channelizer
+        base = config or ReceiverConfig()
+        if base.profile != "etsi":
+            base = dataclasses.replace(base, profile="etsi")
+        self.cfg = base
+        self.num_carriers = num_carriers
+        self.offsets = channelizer.carrier_grid(num_carriers, spacing_hz)
+        self._cells = [DownlinkReceiver(base, traffic_channel,
+                                        traffic_depth)
+                       for _ in range(num_carriers)]
+
+    @functools.lru_cache(maxsize=4)
+    def _compiled(self, n: int):
+        import jax
+
+        from tetraear_tpu.ops import channelizer, dqpsk, fir, resample, \
+            timing
+        cfg = self.cfg
+        decim = cfg.decimation_factor
+        taps_d = jnp.asarray(fir.design_decimation_fir(
+            decim, cfg.decim_fir_taps_per_phase))
+        taps_r = resample.design_rrc_resampler(3, 10, cfg.etsi_sps,
+                                               cfg.rrc_alpha,
+                                               cfg.rrc_span_symbols)
+        offsets = jnp.asarray(self.offsets)
+
+        def tail(y):
+            z = resample.rational_resample(y, 3, 10, taps_r)
+            ts = timing.best_phase_pick(z, cfg.etsi_sps, step=1)
+            soft = dqpsk.demodulate_soft(ts.symbols)
+            return soft.soft_bits, ts.count
+
+        @jax.jit
+        def run(x):
+            chans = channelizer.channelize(x, offsets, cfg.sample_rate_hz,
+                                           decim, taps_d)
+            return jax.vmap(tail)(chans)
+        return run
+
+    def receive(self, iq) -> List[List[DownlinkFrame]]:
+        """Wideband IQ -> per-carrier decoded downlink frames."""
+        iq = jnp.asarray(iq, jnp.complex64)
+        soft_bits, counts = self._compiled(int(iq.shape[-1]))(iq)
+        soft_bits = np.asarray(soft_bits)
+        counts = np.asarray(counts)
+        out: List[List[DownlinkFrame]] = []
+        for c in range(self.num_carriers):
+            m = int(counts[c])
+            if m < 2:
+                out.append([])
+                continue
+            llrs = soft_bits[c, :m - 1].reshape(-1)
+            out.append(self._cells[c].receive_soft(llrs))
+        return out

@@ -208,6 +208,149 @@ def build_sharded_step(mesh: Mesh, cfg: ReceiverConfig | None = None,
     return run
 
 
+class ShardedEtsiResult(NamedTuple):
+    soft_bits: jnp.ndarray   # (C, n_time, 2*(M_ext-1)) float32 LLR stream
+    best_phase: jnp.ndarray  # (C, n_time) int32 (same on every time shard)
+
+
+def _shard_step_etsi(x_local: jnp.ndarray, offsets_local: jnp.ndarray,
+                     cfg: ReceiverConfig, halo: int):
+    """etsi-profile shard step: channelize -> rational resample (x3/10,
+    RRC) to the true 4-samples/symbol 18 kHz grid -> psum'd global symbol
+    timing -> soft demod with cross-shard differential carry.
+
+    Shard contract: T_local and halo must be multiples of
+    decim * 10 * sps (= 400 at reference rates): divisibility by
+    decim*10 keeps the polyphase resampler's output grid globally
+    aligned (3/10 of the 240 kHz index stays integer), the extra *sps
+    keeps the 4-phase symbol grid shard-invariant.
+    """
+    from tetraear_tpu.ops import resample
+    decim = cfg.decimation_factor
+    sps = cfg.etsi_sps
+    align = decim * 10 * sps
+    t_local = x_local.shape[-1]
+    assert t_local % align == 0 and halo % align == 0, (t_local, halo, align)
+
+    taps_d = jnp.asarray(fir.design_decimation_fir(
+        decim, cfg.decim_fir_taps_per_phase))
+    taps_r = resample.design_rrc_resampler(3, 10, sps, cfg.rrc_alpha,
+                                           cfg.rrc_span_symbols)
+
+    ext = extend_with_halo(x_local, halo, halo, TIME_AXIS)      # (T+2H,)
+    t_idx = lax.axis_index(TIME_AXIS)
+    global_start = t_idx.astype(jnp.int32) * t_local - halo
+
+    y = channelizer.channelize(ext, offsets_local, cfg.sample_rate_hz,
+                               decim, taps=taps_d, start_index=global_start)
+    z = resample.rational_resample(y, 3, 10, taps_r)            # 72 kHz
+
+    # global best-phase over the 4 sampling phases (interior only)
+    h_out = (halo // decim) * 3 // 10
+    t_out = (t_local // decim) * 3 // 10
+    interior = z[:, h_out:h_out + t_out]
+    m_int = t_out // sps
+    grid = interior[:, :m_int * sps].reshape(interior.shape[0], m_int, sps)
+    phase_power = jnp.sum(jnp.abs(grid) ** 2, axis=1)
+    phase_power = lax.psum(phase_power, TIME_AXIS)
+    best = jnp.argmax(phase_power, axis=-1).astype(jnp.int32)   # (Cl,)
+
+    m_ext = z.shape[-1] // sps - 1
+    idx = best[:, None] + jnp.arange(m_ext, dtype=jnp.int32)[None, :] * sps
+    symbols = jnp.take_along_axis(z, idx, axis=-1)              # (Cl, M_ext)
+
+    prev = carry_last(symbols, TIME_AXIS)
+    seeded = jnp.concatenate([prev[:, None], symbols], axis=-1)
+    soft = dqpsk.demodulate_soft(seeded)                        # (Cl, M_ext, 2)
+    llrs = soft.soft_bits[:, 1:, :]      # drop seed diff (halos overlap)
+    flat = llrs.reshape(llrs.shape[0], -1)                      # (Cl, 2(M_ext-1))
+
+    return (flat[:, None, :],
+            jnp.broadcast_to(best[:, None], (best.shape[0], 1)))
+
+
+def build_sharded_step_etsi(mesh: Mesh, cfg: ReceiverConfig | None = None,
+                            halo: int | None = None):
+    """Compile the etsi-profile sharded step (pod-scale downlink demod).
+
+    Returns (fn, halo): fn(x, offsets) with x (T_total,) complex64,
+    T_total / n_time and halo multiples of decim*10*sps (400).
+    """
+    import dataclasses
+    cfg = cfg or ReceiverConfig()
+    if cfg.profile != "etsi":
+        cfg = dataclasses.replace(cfg, profile="etsi")
+    align = cfg.decimation_factor * 10 * cfg.etsi_sps
+    if halo is None:
+        # FIR + RRC group delay plus >= 128 symbols of burst context
+        halo = -(-(132 * cfg.decimation_factor
+                   * cfg.ref_samples_per_symbol) // align) * align
+    assert halo % align == 0
+
+    fn = jax.shard_map(
+        functools.partial(_shard_step_etsi, cfg=cfg, halo=halo),
+        mesh=mesh,
+        in_specs=(P(TIME_AXIS), P(CARRIER_AXIS)),
+        out_specs=(P(CARRIER_AXIS, TIME_AXIS, None),
+                   P(CARRIER_AXIS, TIME_AXIS)),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run(x, offsets):
+        return ShardedEtsiResult(*fn(x, offsets))
+
+    return run, halo
+
+
+class ShardedDownlinkReceiver:
+    """Pod-scale ETSI downlink: the sharded demod step plus host stitching
+    of per-shard soft-bit segments into one global LLR stream per carrier,
+    then the blind cell-acquisition walk (models/downlink.py) on each.
+
+    Stitching: each time shard owns symbols [H_sym, H_sym + T_sym) of its
+    extended segment; their soft bits concatenate exactly-once into the
+    global stream (guarded by test_parallel.py equivalence tests).
+    """
+
+    def __init__(self, mesh: Mesh, num_carriers: int,
+                 cfg: ReceiverConfig | None = None,
+                 halo: int | None = None,
+                 traffic_channel: str = "TCH/S", traffic_depth: int = 1):
+        from tetraear_tpu.models.downlink import DownlinkReceiver
+        self.mesh = mesh
+        self.cfg = cfg or ReceiverConfig()
+        self.run, self.halo = build_sharded_step_etsi(mesh, self.cfg, halo)
+        self.num_carriers = num_carriers
+        self._cells = [DownlinkReceiver(None, traffic_channel, traffic_depth)
+                       for _ in range(num_carriers)]
+
+    def stitch(self, result: ShardedEtsiResult, t_local: int) -> np.ndarray:
+        """(C, n_time, seg) -> (C, global_bits) owned-region concatenation."""
+        decim = self.cfg.decimation_factor
+        sps = self.cfg.etsi_sps
+        h_sym = ((self.halo // decim) * 3 // 10) // sps
+        own_sym = ((t_local // decim) * 3 // 10) // sps
+        soft = np.asarray(result.soft_bits)
+        c_total, n_time, seg = soft.shape
+        lo = 2 * h_sym
+        hi = lo + 2 * own_sym
+        pieces = [soft[:, k, lo:hi] for k in range(n_time)]
+        return np.concatenate(pieces, axis=-1)
+
+    def receive(self, x, offsets) -> list:
+        """Wideband (T_total,) + (C,) offsets -> per-carrier downlink
+        frames (list of DownlinkFrame lists)."""
+        x = np.asarray(x)
+        n_time = self.mesh.shape[TIME_AXIS]
+        t_local = x.shape[-1] // n_time
+        xs, offs = shard_inputs(self.mesh, x, offsets)
+        res = self.run(xs, offs)
+        llrs = self.stitch(res, t_local)
+        return [self._cells[c].receive_soft(llrs[c])
+                for c in range(self.num_carriers)]
+
+
 def build_sharded_step_realpair(mesh: Mesh, cfg: ReceiverConfig | None = None,
                                 halo: int | None = None,
                                 spacing_hz: float = 25e3):
