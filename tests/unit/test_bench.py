@@ -22,10 +22,12 @@ def bench():
 
 class TestMeasure:
     def test_cpu_measure_small(self, bench):
-        sps, backend, variant = bench._measure(num_carriers=4, scale=1,
-                                               iters=1)
+        sps, backend, variant, carriers = bench._measure(num_carriers=4,
+                                                         scale=1, iters=1)
         assert backend == "cpu"
-        assert variant in ("demod_decode", "demod_decode_realpair")
+        assert variant in ("demod_decode", "demod_decode_realpair",
+                           "pfb_demod_decode")
+        assert carriers in (4, 96)
         assert sps > 1e5          # sanity: >0.1 MS/s even tiny/contended
 
     def test_verified_rate_raises_on_hang(self, bench, monkeypatch):

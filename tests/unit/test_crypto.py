@@ -126,3 +126,39 @@ class TestKeys:
         km = TetraKeyManager()
         km.add_key("TEA1", "5", bytes(10))
         assert km.get_key("TEA1", "5") == bytes(10)
+
+
+class TestTEAEncryptor:
+    """TX direction (new capability — the reference is receive-only)."""
+
+    def test_inverse_all_algorithms_ecb_and_cbc(self):
+        import os
+        from tetraear_tpu.crypto.tea import TEADecryptor, TEAEncryptor
+        rng = __import__("numpy").random.default_rng(0)
+        for alg, klen in (("TEA1", 10), ("TEA2", 16), ("TEA3", 16),
+                          ("TEA4", 16)):
+            for _ in range(4):
+                key = bytes(rng.integers(0, 256, klen, dtype="uint8"))
+                pt = bytes(rng.integers(0, 256, 24, dtype="uint8"))
+                e = TEAEncryptor(key, alg)
+                d = TEADecryptor(key, alg)
+                assert d.decrypt(e.encrypt(pt)) == pt
+                iv = bytes(rng.integers(0, 256, 8, dtype="uint8"))
+                assert d.decrypt(e.encrypt(pt, iv=iv), iv=iv) == pt
+
+    def test_matches_manual_tea2_inverse_vector(self):
+        # the hand-rolled inverse from TestTEACrypto.test_tea2_encrypt_inverse
+        import struct
+        from tetraear_tpu.crypto.tea import TEADecryptor, TEAEncryptor
+        key = bytes.fromhex("0123456789ABCDEF0123456789ABCDEF")
+        pt = struct.pack(">II", 0x12345678, 0x9ABCDEF0)
+        ct = TEAEncryptor(key, "TEA2").encrypt_block(pt)
+        assert TEADecryptor(key, "TEA2").decrypt_block(ct) == pt
+
+    def test_key_validation_shared(self):
+        import pytest as _pytest
+        from tetraear_tpu.crypto.tea import TEAEncryptor
+        with _pytest.raises(ValueError):
+            TEAEncryptor(bytes(9), "TEA1")
+        with _pytest.raises(ValueError):
+            TEAEncryptor(bytes(10), "TEA9")

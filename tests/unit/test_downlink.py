@@ -242,3 +242,50 @@ class TestMulticarrierDownlink:
             texts = {bytes(f.mac_pdu.data) for f in good
                      if f.mac_pdu is not None}
             assert f"CELL{c} MSG".encode() in texts
+
+
+class TestEncryptedDownlink:
+    def _encrypted_stream(self, key, alg, text, cell):
+        from tetraear_tpu.crypto.tea import TEAEncryptor
+        pt = text.encode()
+        pt += b"\x00" * (-len(pt) % 8)
+        ct = TEAEncryptor(key, alg).encrypt(pt)
+        pay = {1: make_mac_block_bits(ct, encryption_mode=1, seed=1)}
+        return DownlinkTransmitter(cell).stream_bits(4, pay)
+
+    def test_common_key_bruteforce_recovers_text(self, cell):
+        from tetraear_tpu.core.decoder import TetraDecoder
+        key = TetraDecoder().common_keys["TEA1"][0]      # built-in key
+        bits = self._encrypted_stream(key, "TEA1", "SECRET MESSAGE 123",
+                                      cell)
+        rx = DownlinkReceiver(auto_decrypt=True)
+        frames = rx.receive_bits(bits)
+        enc = [f for f in frames if f.encrypted]
+        assert len(enc) == 1
+        f = enc[0]
+        assert f.decrypted and f.decrypt_score >= 80
+        assert b"SECRET MESSAGE 123" in f.decrypted_data
+        assert f.sds_message and "SECRET MESSAGE 123" in f.sds_message
+
+    def test_user_key_decrypts_when_not_common(self, cell):
+        key = bytes.fromhex("a1b2c3d4e5f60718293a")       # not in commons
+        bits = self._encrypted_stream(key, "TEA1", "USER KEY TRAFFIC",
+                                      cell)
+        rx_with = DownlinkReceiver(auto_decrypt=True,
+                                   keys=[key.hex()])
+        f = [x for x in rx_with.receive_bits(bits) if x.encrypted][0]
+        assert f.decrypted
+        assert b"USER KEY TRAFFIC" in f.decrypted_data
+
+        rx_without = DownlinkReceiver(auto_decrypt=True)
+        g = [x for x in rx_without.receive_bits(bits) if x.encrypted][0]
+        assert not g.decrypted or b"USER KEY TRAFFIC" not in (
+            g.decrypted_data or b"")
+
+    def test_clear_frames_not_marked_encrypted(self, cell):
+        pay = {1: make_mac_block_bits(b"CLEAR TEXT")}
+        bits = DownlinkTransmitter(cell).stream_bits(4, pay)
+        frames = DownlinkReceiver(auto_decrypt=True).receive_bits(bits)
+        assert not any(f.encrypted for f in frames)
+        assert any(f.sds_message and "CLEAR TEXT" in f.sds_message
+                   for f in frames)

@@ -106,3 +106,73 @@ class TEADecryptor:
             out += bytes(a ^ b for a, b in zip(dec, prev))
             prev = block
         return out
+
+
+class TEAEncryptor:
+    """Exact inverse of TEADecryptor — the TX direction the reference never
+    had (it is receive-only; its crypto.py:25 implements decrypt only).
+
+    Needed by the etsi downlink transmitter to produce encrypted-payload
+    test traffic whose decryption through the reference-parity brute-force
+    path is meaningful.  Inverts the *reference's* quirky round structures
+    verbatim (unmasked running sum, sum decrement between half-rounds),
+    so decrypt(encrypt(x)) == x bit-for-bit for every algorithm.
+    """
+
+    KEY_LENGTHS = TEADecryptor.KEY_LENGTHS
+
+    def __init__(self, key: bytes, algorithm: str = "TEA1"):
+        self.algorithm = algorithm.upper()
+        self.key = key
+        # share validation semantics
+        TEADecryptor(key, algorithm)
+
+    def _tea1_encrypt_block(self, block: bytes) -> bytes:
+        kw = [struct.unpack(">H", self.key[i:i + 2])[0]
+              for i in range(0, 10, 2)]
+        v0, v1 = struct.unpack(">II", block)
+        s = 0
+        for _ in range(32):
+            v0 = (v0 + ((((v1 << 4) ^ (v1 >> 5) ^ s) + v1)
+                        ^ (kw[s & 3] + s))) & _MASK
+            s += _DELTA
+            v1 = (v1 + ((((v0 << 4) ^ (v0 >> 5) ^ s) + v0)
+                        ^ (kw[(s >> 11) & 3] + s))) & _MASK
+        return struct.pack(">II", v0, v1)
+
+    def _tea2_encrypt_block(self, block: bytes) -> bytes:
+        k0, k1, k2, k3 = struct.unpack(">IIII", self.key)
+        v0, v1 = struct.unpack(">II", block)
+        s = 0
+        for _ in range(32):
+            v0 = (v0 + (((v1 << 4) + k0) ^ (v1 + s)
+                        ^ ((v1 >> 5) + k1))) & _MASK
+            s += _DELTA
+            v1 = (v1 + (((v0 << 4) + k2) ^ (v0 + s)
+                        ^ ((v0 >> 5) + k3))) & _MASK
+        return struct.pack(">II", v0, v1)
+
+    def encrypt_block(self, block: bytes) -> bytes:
+        if len(block) != 8:
+            raise ValueError("block must be 8 bytes")
+        if self.algorithm == "TEA1":
+            return self._tea1_encrypt_block(block)
+        return self._tea2_encrypt_block(block)      # TEA2/3/4 share rounds
+
+    def encrypt(self, data: bytes, iv: Optional[bytes] = None) -> bytes:
+        """ECB when iv is None, else CBC matching TEADecryptor.decrypt."""
+        if len(data) % 8 != 0:
+            raise ValueError("Data length must be multiple of 8 bytes")
+        if iv is None:
+            return b"".join(self.encrypt_block(data[i:i + 8])
+                            for i in range(0, len(data), 8))
+        if len(iv) != 8:
+            raise ValueError("IV must be 8 bytes")
+        out = b""
+        prev = iv
+        for i in range(0, len(data), 8):
+            ct = self.encrypt_block(
+                bytes(a ^ b for a, b in zip(data[i:i + 8], prev)))
+            out += ct
+            prev = ct
+        return out

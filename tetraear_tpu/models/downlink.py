@@ -30,7 +30,7 @@ channel decodes) per the SURVEY §7 device/host split.
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -108,6 +108,11 @@ class DownlinkFrame:
     tch_llrs: Optional[np.ndarray] = None   # raw 432 coded soft bits
     tch_bits: Optional[np.ndarray] = None   # depth-1 decoded traffic bits
     voice_block: Optional[bytes] = None     # TCH/S: 690-short codec block
+    encrypted: bool = False
+    decrypted: bool = False
+    decrypted_data: Optional[bytes] = None
+    key_used: Optional[str] = None
+    decrypt_score: int = 0
 
 
 class DownlinkTransmitter:
@@ -240,17 +245,30 @@ class DownlinkReceiver:
     STS_THRESHOLD = 0.87          # 33/38 midamble bits
 
     def __init__(self, config: ReceiverConfig | None = None,
-                 traffic_channel: str = "TCH/S", traffic_depth: int = 1):
+                 traffic_channel: str = "TCH/S", traffic_depth: int = 1,
+                 auto_decrypt: bool = False,
+                 keys: Optional[Sequence[str]] = None):
         """traffic_channel/traffic_depth: how AACH-marked traffic slots are
         decoded (in a live system this arrives via call-setup signalling;
         here it is receiver configuration).  Depth-1 channels decode
         inline; deeper interleaving is resolved per-TN afterwards with
-        decode_traffic_stream()."""
+        decode_traffic_stream().
+
+        auto_decrypt: run the reference-parity brute-force decrypt
+        orchestrator (core/decoder.py) on encrypted MAC payloads; `keys`
+        are user hex keys tried before the built-in common set."""
         self.rx = EtsiReceiver(config)
         self.parser = TetraProtocolParser()
         self.traffic_channel = traffic_channel
         self.traffic_depth = traffic_depth
         self.last_cell_ecc: Optional[int] = None
+        self.auto_decrypt = auto_decrypt
+        self._decryptor = None
+        if auto_decrypt:
+            from tetraear_tpu.core.decoder import TetraDecoder
+            self._decryptor = TetraDecoder(auto_decrypt=True)
+            if keys:
+                self._decryptor.set_keys(list(keys))
 
     # --- bit-level entry (unit tests / hard-decision paths) ---
     def receive_bits(self, bits: np.ndarray) -> List[DownlinkFrame]:
@@ -427,15 +445,37 @@ class DownlinkReceiver:
                     try:
                         mac_pdu = self.parser.parse_mac_pdu(mac_bits)
                         data = getattr(mac_pdu, "data", None)
-                        if data:
+                        if data and not getattr(mac_pdu, "encrypted", False):
                             sds = self.parser.parse_sds_data(bytes(data))
                     except Exception:
                         mac_pdu = None
-                frames.append(DownlinkFrame(
+                frame = DownlinkFrame(
                     i, tn, fn, mn, "NDB", "SCH/F", crc_ok, aach, margin,
-                    mac_bits=mac_bits, mac_pdu=mac_pdu, sds_message=sds))
+                    mac_bits=mac_bits, mac_pdu=mac_pdu, sds_message=sds,
+                    encrypted=bool(getattr(mac_pdu, "encrypted", False)))
+                if frame.encrypted and self._decryptor is not None:
+                    self._try_decrypt(frame)
+                frames.append(frame)
             tn, fn, mn = advance_tdma(tn, fn, mn, 1)
         return frames
+
+    def _try_decrypt(self, frame: DownlinkFrame) -> None:
+        """Run the reference-parity brute-force orchestrator on an
+        encrypted MAC payload and attach the outcome to the frame."""
+        fd = {"number": frame.slot_index,
+              "encryption_algorithm": "TEA1",
+              "mac_pdu": {"data": bytes(frame.mac_pdu.data)}}
+        self._decryptor._decrypt_frame(fd)
+        frame.decrypt_score = int(fd.get("best_score", 0))
+        frame.key_used = fd.get("key_used") or fd.get("best_key")
+        if fd.get("decrypted"):
+            frame.decrypted = True
+            frame.decrypted_data = bytes.fromhex(fd["decrypted_bytes"])
+            try:
+                frame.sds_message = self.parser.parse_sds_data(
+                    frame.decrypted_data.rstrip(b"\x00"))
+            except Exception:
+                pass
 
     def decode_traffic_stream(self, frames: Sequence[DownlinkFrame],
                               tn: int, cell_ecc: Optional[int] = None,

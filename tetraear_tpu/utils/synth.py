@@ -209,15 +209,21 @@ def bits_to_iq(bits: np.ndarray, sample_rate: float = C.DEFAULT_SAMPLE_RATE_HZ,
 
 
 def make_mac_block_bits(payload: bytes, address: int = 0x0ABC,
-                        total_bits: int = 268, seed: int = 0) -> np.ndarray:
+                        total_bits: int = 268, seed: int = 0,
+                        encryption_mode: int = 0) -> np.ndarray:
     """A type-1 MAC-RESOURCE bit block for the etsi channel coder
-    (SCH/F = 268 bits): clear header | 24-bit address | 6-bit length |
+    (SCH/F = 268 bits): header | 24-bit address | 6-bit length |
     payload bytes | random fill.  Unlike make_mac_resource_frame_bits this
     carries no reference-quirk CRC overlay — the etsi chain protects it
-    with the real CRC-16 block code (ops/channel_coding.py)."""
+    with the real CRC-16 block code (ops/channel_coding.py).
+
+    encryption_mode: the 2-bit MAC header field (0 = clear); callers
+    passing an encrypted payload (crypto/tea.TEAEncryptor) set 1-3."""
     rng = np.random.default_rng(seed)
     head = np.concatenate([
-        np.zeros(5, np.uint8),                      # type=00, clear, fill=0
+        np.zeros(2, np.uint8),                      # pdu type = 00
+        _uint_to_bits(encryption_mode, 2),
+        np.zeros(1, np.uint8),                      # fill flag
         _uint_to_bits(address, 24), _uint_to_bits(len(payload), 6),
         np.unpackbits(np.frombuffer(payload, np.uint8)) if payload
         else np.zeros(0, np.uint8)])
