@@ -1,0 +1,170 @@
+"""Uplink burst TX/RX: normal uplink bursts (NUB) and control uplink
+bursts (CB) with SCH/HU — the mobile-side of the air interface.
+
+The reference is strictly a downlink monitor (BladeRF tuned to a base
+station); this module extends the framework to uplink/direct-mode
+monitoring: a mobile's scheduled bursts arrive as isolated transmissions
+(no continuous carrier, no NTS3 straddle, no AACH), located by midamble
+correlation (NTS for NUB at bit 220, ETS for CB at bit 88) and decoded
+with the cell scrambling learned from the downlink BSCH
+(models/downlink.py).
+
+Burst layouts: protocol/bursts.py NUB_FIELDS / CB_FIELDS (EN 300 392-2
+§9.4.4.1).  Device/host split as everywhere: dense correlation + batched
+channel decodes on device, the data-dependent burst walk on host.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from tetraear_tpu import constants as C
+from tetraear_tpu.config import ReceiverConfig
+from tetraear_tpu.models.receiver_etsi import EtsiReceiver
+from tetraear_tpu.ops import channel_coding as cc
+from tetraear_tpu.protocol import bursts
+from tetraear_tpu.protocol.parser import TetraProtocolParser
+from tetraear_tpu.utils import synth
+
+
+@dataclass
+class UplinkFrame:
+    kind: str                     # "NUB" | "CB"
+    start_bit: int                # stream position of the burst start
+    channel: str                  # "SCH/F" | "SCH/HU"
+    crc_ok: bool
+    mac_bits: Optional[np.ndarray]
+    mac_pdu: Optional[object] = None
+    sds_message: Optional[str] = None
+
+
+class UplinkTransmitter:
+    """Build isolated uplink bursts for a cell's scrambling code."""
+
+    def __init__(self, cell_ecc30: int = 0):
+        self.ecc = cell_ecc30
+
+    def nub_bits(self, mac268: np.ndarray, training: int = 1) -> np.ndarray:
+        coded = cc.encode_channel(mac268, "SCH/F", ecc30=self.ecc)
+        return bursts.build_nub(coded[:216], coded[216:], training)
+
+    def cb_bits(self, mac92: np.ndarray) -> np.ndarray:
+        coded = cc.encode_channel(mac92, "SCH/HU", ecc30=self.ecc)
+        return bursts.build_cb(coded)
+
+    def transmit(self, burst_bits: List[np.ndarray], gap_bits: int = 64,
+                 sample_rate: float = C.DEFAULT_SAMPLE_RATE_HZ,
+                 snr_db: float | None = None, seed: int = 0) -> np.ndarray:
+        """Bursts separated by `gap_bits` of filler -> π/4-DQPSK IQ.
+
+        (A real uplink ramps power down between bursts; for monitor tests
+        the filler keeps the demodulator's clock fed, which only makes the
+        false-sync rejection job *harder* — the midamble correlator must
+        discriminate against modulated filler, not silence.)
+        """
+        rng = np.random.default_rng(seed)
+        pieces = [rng.integers(0, 2, gap_bits).astype(np.uint8)]
+        for b in burst_bits:
+            pieces.append(np.asarray(b).astype(np.uint8))
+            pieces.append(rng.integers(0, 2, gap_bits).astype(np.uint8))
+        bits = np.concatenate(pieces)
+        syms = synth.bits_to_symbols(bits)
+        phasors = synth.synthesize_symbol_phasors(syms, mapping="pi4")
+        x = synth.upsample_hold(phasors, sample_rate, C.SYMBOL_RATE_HZ)
+        if snr_db is not None:
+            std = 10 ** (-snr_db / 20) / np.sqrt(2)
+            x = x + std * (rng.standard_normal(len(x))
+                           + 1j * rng.standard_normal(len(x)))
+        return x.astype(np.complex64)
+
+
+class UplinkMonitor:
+    """Locate and decode isolated uplink bursts in a capture."""
+
+    NTS_THRESHOLD = 0.87          # 20/22
+    ETS_THRESHOLD = 0.87          # 27/30
+
+    def __init__(self, cell_ecc30: int = 0,
+                 config: ReceiverConfig | None = None):
+        self.ecc = cell_ecc30
+        self.rx = EtsiReceiver(config)
+        self.parser = TetraProtocolParser()
+
+    def receive(self, iq, freq_offset: float = 0.0) -> List[UplinkFrame]:
+        res = self.rx(iq, freq_offset)
+        count = int(res.count)
+        if count < 2:
+            return []
+        soft = np.asarray(res.soft_bits)[:count - 1].reshape(-1)
+        return self.receive_soft(soft)
+
+    def receive_bits(self, bits: np.ndarray) -> List[UplinkFrame]:
+        return self.receive_soft(np.asarray(bits).astype(np.float32) * 2 - 1)
+
+    def receive_soft(self, llrs: np.ndarray) -> List[UplinkFrame]:
+        from tetraear_tpu.models.downlink import _pattern_corr
+        hard = (llrs > 0).astype(np.uint8)
+
+        nts_lo, _ = bursts.NUB_FIELDS["nts"]
+        ets_lo, _ = bursts.CB_FIELDS["ets"]
+        cands = []                      # (start, kind), deduped by start
+        for pat, thr, off, kind, size in (
+                (bursts.NTS1, self.NTS_THRESHOLD, nts_lo, "NUB",
+                 bursts.NUB_BITS),
+                (bursts.NTS2, self.NTS_THRESHOLD, nts_lo, "NUB",
+                 bursts.NUB_BITS),
+                (bursts.ETS, self.ETS_THRESHOLD, ets_lo, "CB",
+                 bursts.CB_BITS)):
+            corr = _pattern_corr(hard, pat)
+            for pos in np.flatnonzero(corr >= thr):
+                start = int(pos) - off
+                if 0 <= start and start + size <= llrs.size:
+                    cands.append((start, kind, size))
+        cands.sort()
+
+        frames: List[UplinkFrame] = []
+        last_end = -1
+        for start, kind, size in cands:
+            if start < last_end:         # overlapping duplicate hit
+                continue
+            frame = self._decode_burst(llrs[start:start + size], kind, start)
+            if frame is not None:
+                frames.append(frame)
+                last_end = start + size
+        return frames
+
+    def _decode_burst(self, llrs: np.ndarray, kind: str,
+                      start: int) -> Optional[UplinkFrame]:
+        if kind == "NUB":
+            f = bursts.NUB_FIELDS
+            coded = np.concatenate([llrs[f["bkn1"][0]:f["bkn1"][1]],
+                                    llrs[f["bkn2"][0]:f["bkn2"][1]]])
+            dec = cc.decode_channel_soft(jnp.asarray(coded), "SCH/F",
+                                         ecc30=self.ecc)
+            channel = "SCH/F"
+        else:
+            f = bursts.CB_FIELDS
+            coded = np.concatenate([llrs[f["cb1"][0]:f["cb1"][1]],
+                                    llrs[f["cb2"][0]:f["cb2"][1]]])
+            dec = cc.decode_channel_soft(jnp.asarray(coded), "SCH/HU",
+                                         ecc30=self.ecc)
+            channel = "SCH/HU"
+        crc_ok = bool(dec.crc_ok)
+        if not crc_ok:
+            return None                  # correlator false alarm or noise
+        mac_bits = np.asarray(dec.bits)
+        mac_pdu = None
+        sds = None
+        try:
+            mac_pdu = self.parser.parse_mac_pdu(mac_bits)
+            data = getattr(mac_pdu, "data", None)
+            if data:
+                sds = self.parser.parse_sds_data(bytes(data))
+        except Exception:
+            mac_pdu = None
+        return UplinkFrame(kind, start, channel, crc_ok, mac_bits,
+                           mac_pdu, sds)

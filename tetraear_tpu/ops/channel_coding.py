@@ -35,6 +35,7 @@ from tetraear_tpu.ops.crc import crc16_bits_arr, crc16_batch
 CHANNEL_GEOMETRY = {
     # name: (type1_bits, air_bits)
     "BSCH": (60, 120),
+    "SCH/HU": (92, 168),      # uplink half-slot (control uplink burst)
     "SCH/HD": (124, 216),
     "BNCH": (124, 216),
     "STCH": (124, 216),

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 BLOCK_PARAMS = {
     "BSCH": (120, 11),
+    "SCH/HU": (168, 13),
     "SCH/HD": (216, 101),
     "BNCH": (216, 101),
     "STCH": (216, 101),

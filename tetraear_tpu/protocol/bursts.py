@@ -240,3 +240,95 @@ def ndb_aach_bits(sliced: SlicedBurst) -> np.ndarray:
     """Recombine the split broadcast halves of an NDB into bb1..bb30."""
     f = sliced.fields
     return np.concatenate([f["bb1"], f["bb2"]], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Uplink bursts (EN 300 392-2 §9.4.4.1): transmitted by mobiles in
+# scheduled slots, so they are shorter than the 510-bit slot duration —
+# the remainder is power ramp + guard time.  The reference has no uplink
+# path at all (BladeRF downlink monitor only); these enable uplink/
+# direct-mode monitoring and full-duplex link simulation.
+#
+# Normal uplink burst (NUB), 462 bits (231 symbols) + 48 bits guard:
+#
+#     [  0:  4) tail bits
+#     [  4:220) scrambled block 1 (216)
+#     [220:242) normal training sequence 1 or 2 (22)
+#     [242:458) scrambled block 2 (216)
+#     [458:462) tail bits
+#
+# Control uplink burst (CB), 206 bits (103 symbols, fits a subslot):
+#
+#     [  0:  4) tail bits
+#     [  4: 88) scrambled block, first half (84)
+#     [ 88:118) extended training sequence (x, 30)
+#     [118:202) scrambled block, second half (84)
+#     [202:206) tail bits
+#
+# CB carries SCH/HU (92 type-1 -> 168 air bits, split 84/84 around the
+# midamble).  Tail-bit *values* are power-ramp aids, irrelevant to
+# differential demod; zeros here (documented functional choice, same
+# caveat class as the phase-adjustment values).
+# ---------------------------------------------------------------------------
+
+NUB_BITS = 462
+CB_BITS = 206
+
+NUB_FIELDS: Dict[str, tuple] = {
+    "tail_head": (0, 4),
+    "bkn1": (4, 220),
+    "nts": (220, 242),
+    "bkn2": (242, 458),
+    "tail_end": (458, 462),
+}
+
+CB_FIELDS: Dict[str, tuple] = {
+    "tail_head": (0, 4),
+    "cb1": (4, 88),
+    "ets": (88, 118),
+    "cb2": (118, 202),
+    "tail_end": (202, 206),
+}
+
+for _name, _fields, _total in (("NUB", NUB_FIELDS, NUB_BITS),
+                               ("CB", CB_FIELDS, CB_BITS)):
+    _spans = sorted(_fields.values())
+    assert _spans[0][0] == 0 and _spans[-1][1] == _total
+    assert all(a[1] == b[0] for a, b in zip(_spans, _spans[1:])), _name
+
+
+def build_nub(bkn1: np.ndarray, bkn2: np.ndarray,
+              training: int = 1) -> np.ndarray:
+    """Assemble a 462-bit normal uplink burst from two scrambled blocks."""
+    bkn1 = as_bit_array(bkn1)
+    bkn2 = as_bit_array(bkn2)
+    assert bkn1.size == 216 and bkn2.size == 216
+    out = np.zeros(NUB_BITS, np.uint8)
+    out[4:220] = bkn1
+    out[220:242] = NTS1 if training == 1 else NTS2
+    out[242:458] = bkn2
+    return out
+
+
+def build_cb(coded168: np.ndarray) -> np.ndarray:
+    """Assemble a 206-bit control uplink burst from a 168-bit SCH/HU
+    type-5 block (split 84/84 around the extended training sequence)."""
+    coded = as_bit_array(coded168)
+    assert coded.size == 168
+    out = np.zeros(CB_BITS, np.uint8)
+    out[4:88] = coded[:84]
+    out[88:118] = ETS
+    out[118:202] = coded[84:]
+    return out
+
+
+def slice_nub(bits462: np.ndarray) -> Dict[str, np.ndarray]:
+    b = np.asarray(bits462)
+    assert b.shape[-1] == NUB_BITS
+    return {k: b[..., lo:hi] for k, (lo, hi) in NUB_FIELDS.items()}
+
+
+def slice_cb(bits206: np.ndarray) -> Dict[str, np.ndarray]:
+    b = np.asarray(bits206)
+    assert b.shape[-1] == CB_BITS
+    return {k: b[..., lo:hi] for k, (lo, hi) in CB_FIELDS.items()}

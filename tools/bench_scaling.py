@@ -33,6 +33,10 @@ def main() -> int:
                     help="force N virtual CPU devices (correctness mode)")
     ap.add_argument("--per-device-samples", type=int, default=1040 * 130)
     ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--profile", choices=["ref", "etsi"], default="ref",
+                    help="ref = ref-compat sharded step; etsi = the "
+                         "rational-resampler soft-demod pod step "
+                         "(build_sharded_step_etsi)")
     args = ap.parse_args()
 
     import os
@@ -49,7 +53,9 @@ def main() -> int:
 
     from tetraear_tpu.config import ReceiverConfig
     from tetraear_tpu.parallel.mesh import make_mesh
-    from tetraear_tpu.parallel.sharded import build_sharded_step, shard_inputs
+    from tetraear_tpu.parallel.sharded import (build_sharded_step,
+                                               build_sharded_step_etsi,
+                                               shard_inputs)
 
     cfg = ReceiverConfig()
     devices = jax.devices()
@@ -65,23 +71,31 @@ def main() -> int:
         mesh = make_mesh(carrier=carrier_axis, time=time_axis,
                          devices=devices[:n])
         t_local = args.per_device_samples
+        if args.profile == "etsi":
+            align = cfg.decimation_factor * 10 * cfg.etsi_sps     # 400
+            t_local = max(align, (t_local // align) * align)
         total = time_axis * t_local
         x = (rng.standard_normal(total) + 1j * rng.standard_normal(total)
              ).astype(np.complex64) * 0.1
         offsets = ((np.arange(carrier_axis) * 25e3) - 25e3 * carrier_axis / 2
                    ).astype(np.float32)
-        run = build_sharded_step(mesh, cfg, halo=132 * 130)
+        if args.profile == "etsi":
+            run, _halo = build_sharded_step_etsi(mesh, cfg, halo=4 * 400)
+            digest_field = "soft_bits"
+        else:
+            run = build_sharded_step(mesh, cfg, halo=132 * 130)
+            digest_field = "sync_corr"
         xs, offs = shard_inputs(mesh, x, offsets)
 
         def step():
             return run(xs, offs)
 
         out = step()
-        _ = float(jnp.sum(out.sync_corr))          # verified warmup
+        _ = float(jnp.sum(jnp.abs(getattr(out, digest_field))))  # warmup
         t0 = time.perf_counter()
         for _i in range(args.iters):
             out = step()
-        _ = float(jnp.sum(out.sync_corr))          # verified sync
+        _ = float(jnp.sum(jnp.abs(getattr(out, digest_field))))  # sync
         dt = (time.perf_counter() - t0) / args.iters
         sps = total * carrier_axis / dt            # carrier-stream samples/s
         results[n] = sps
