@@ -289,3 +289,43 @@ class TestEncryptedDownlink:
         assert not any(f.encrypted for f in frames)
         assert any(f.sds_message and "CLEAR TEXT" in f.sds_message
                    for f in frames)
+
+
+class TestStealingAndControlFrame:
+    def test_stolen_half_slot_carries_stch(self, cell):
+        rng = np.random.default_rng(0)
+        voc = rng.integers(0, 2, (3, 432)).astype(np.uint8)
+        stch_bits = make_mac_block_bits(b"URGENT STCH", total_bits=124)
+        tx = DownlinkTransmitter(cell)
+        # TN3 traffic; steal the second TN3 slot (stream index 6)
+        bits = tx.stream_bits(12, tch_streams={3: ("TCH/S", voc, 1)},
+                              stch={6: stch_bits})
+        frames = DownlinkReceiver().receive_bits(bits)
+        stolen = [f for f in frames if f.stolen]
+        assert len(stolen) == 1
+        f = stolen[0]
+        assert f.slot_index == 6 and f.tn == 3
+        assert f.channel == "STCH+TCH/S"
+        assert f.crc_ok
+        assert bytes(f.mac_pdu.data) == b"URGENT STCH"
+        # the un-stolen traffic slots still produce voice blocks
+        voice = [g for g in frames if g.voice_block is not None]
+        assert len(voice) == 2
+        # the stolen slot still exposes its half traffic block (erasures)
+        assert f.tch_llrs.shape == (432,)
+        assert np.all(f.tch_llrs[216:] == 0)
+
+    def test_frame18_pauses_traffic(self):
+        cfg = DownlinkConfig(start_tn=1, start_fn=17, start_mn=1)
+        rng = np.random.default_rng(1)
+        voc = rng.integers(0, 2, (2, 432)).astype(np.uint8)
+        tx = DownlinkTransmitter(cfg)
+        # 12 slots: fn17 (4), fn18 (4), fn1 (4); TN2 is the traffic channel
+        bits = tx.stream_bits(12, tch_streams={2: ("TCH/S", voc, 1)})
+        frames = DownlinkReceiver().receive_bits(bits)
+        tn2 = [f for f in frames if f.tn == 2]
+        assert [f.fn for f in tn2] == [17, 18, 1]
+        assert tn2[0].voice_block is not None        # fn17: traffic
+        assert tn2[1].voice_block is None            # fn18: control frame
+        assert tn2[1].channel == "SCH/F"
+        assert tn2[2].voice_block is not None        # fn1: traffic resumes

@@ -108,6 +108,7 @@ class DownlinkFrame:
     tch_llrs: Optional[np.ndarray] = None   # raw 432 coded soft bits
     tch_bits: Optional[np.ndarray] = None   # depth-1 decoded traffic bits
     voice_block: Optional[bytes] = None     # TCH/S: 690-short codec block
+    stolen: bool = False                    # NTS2: first half-slot = STCH
     encrypted: bool = False
     decrypted: bool = False
     decrypted_data: Optional[bytes] = None
@@ -144,12 +145,16 @@ class DownlinkTransmitter:
 
     def slot_bits(self, tn: int, fn: int, mn: int,
                   mac_payload: Optional[np.ndarray] = None,
-                  tch_coded: Optional[np.ndarray] = None) -> np.ndarray:
+                  tch_coded: Optional[np.ndarray] = None,
+                  stch: Optional[np.ndarray] = None) -> np.ndarray:
         """One 510-bit burst for TDMA position (tn, fn, mn).
 
         mac_payload: 268 type-1 bits for SCH/F; tch_coded: a 432-bit
         type-5 traffic block (already channel-coded, see encode_tch);
-        neither -> sync/idle schedule.
+        stch: 124 type-1 STCH bits — *steals* the first half of a traffic
+        slot (§9.5.2: NTS2 signals the stolen half-slot; the second half
+        carries the first 216 bits of the traffic block); neither payload
+        -> sync/idle schedule.
         """
         if tn == self.cfg.sync_timeslot:
             return bursts.build_sb(self._sync_block(tn, fn, mn),
@@ -159,9 +164,15 @@ class DownlinkTransmitter:
             assert mac_payload is None, "slot carries SCH/F or TCH, not both"
             coded = np.asarray(tch_coded).astype(np.uint8)
             assert coded.size == 432
+            if stch is not None:
+                stolen = cc.encode_channel(stch, "STCH",
+                                           ecc30=self.cfg.cell_ecc30)
+                return bursts.build_ndb(stolen,
+                                        self._aach_block(fn, traffic=True),
+                                        coded[:216], training=2)
             return bursts.build_ndb(coded[:216],
                                     self._aach_block(fn, traffic=True),
-                                    coded[216:], training=2)
+                                    coded[216:], training=1)
         if mac_payload is None:
             k1, _ = cc.CHANNEL_GEOMETRY["SCH/F"]
             mac_payload = np.zeros(k1, np.uint8)      # null/idle block
@@ -174,7 +185,8 @@ class DownlinkTransmitter:
     def stream_bits(self, num_slots: int,
                     payloads: Optional[Dict[int, np.ndarray]] = None,
                     tch_streams: Optional[Dict[int, Tuple[str, np.ndarray,
-                                                          int]]] = None
+                                                          int]]] = None,
+                    stch: Optional[Dict[int, np.ndarray]] = None
                     ) -> np.ndarray:
         """Concatenate `num_slots` slots starting at the configured TDMA
         origin.
@@ -184,10 +196,15 @@ class DownlinkTransmitter:
         timeslot becomes a traffic channel, its blocks channel-coded
         (encode_tch, diagonal over `depth` bursts) and mapped to the TN's
         successive slots (one burst block per frame — the physical-channel
-        axis the §8.2.4.2 interleaver runs along).
+        axis the §8.2.4.2 interleaver runs along).  Frame 18 is the
+        control frame (§9.3.2): traffic pauses there and the slot carries
+        SCH/F signalling instead.
+        stch: stream slot index -> 124 STCH type-1 bits stealing the
+        first half of that traffic slot (NTS2 marks it on air).
         """
         payloads = payloads or {}
         tch_streams = tch_streams or {}
+        stch = stch or {}
         coded_tch: Dict[int, List[np.ndarray]] = {}
         for t, (channel, blocks, depth) in tch_streams.items():
             assert t != self.cfg.sync_timeslot
@@ -199,9 +216,10 @@ class DownlinkTransmitter:
         out = []
         for k in range(num_slots):
             tch = None
-            if tn in coded_tch and coded_tch[tn]:
+            if fn != FRAMES_PER_MF and tn in coded_tch and coded_tch[tn]:
                 tch = coded_tch[tn].pop(0)
-            out.append(self.slot_bits(tn, fn, mn, payloads.get(k), tch))
+            out.append(self.slot_bits(tn, fn, mn, payloads.get(k), tch,
+                                      stch.get(k)))
             tn, fn, mn = advance_tdma(tn, fn, mn, 1)
         return np.concatenate(out) if out else np.zeros(0, np.uint8)
 
@@ -372,9 +390,12 @@ class DownlinkReceiver:
         is_traffic = np.array([(not is_sb[i]) and
                                aachs[i].downlink_usage == "traffic"
                                for i in range(n)])
+        # NTS2 (p) on a traffic slot = first half-slot stolen for STCH
+        is_stolen = is_traffic & (p_score > n_score)
         sb_idx = np.flatnonzero(is_sb)
         schf_idx = np.flatnonzero(~is_sb & ~is_traffic)
-        tch_idx = np.flatnonzero(is_traffic)
+        tch_idx = np.flatnonzero(is_traffic & ~is_stolen)
+        stolen_idx = np.flatnonzero(is_stolen)
 
         # batched channel decodes (one per group)
         sb_res = {}
@@ -399,11 +420,19 @@ class DownlinkReceiver:
             tch_out = np.asarray(cc.decode_tch_soft(
                 jnp.asarray(ndb_coded[tch_idx]), self.traffic_channel,
                 ecc30=cell_ecc, depth=1))
+        stolen_res = {}
+        if stolen_idx.size:
+            dec = cc.decode_channel_soft(
+                jnp.asarray(slots[stolen_idx, 14:230]), "STCH",
+                ecc30=cell_ecc)
+            stolen_res = {"bits": np.asarray(dec.bits),
+                          "ok": np.asarray(dec.crc_ok)}
 
         # host assembly in slot order
         sb_pos = {int(s): j for j, s in enumerate(sb_idx)}
         schf_pos = {int(s): j for j, s in enumerate(schf_idx)}
         tch_pos = {int(s): j for j, s in enumerate(tch_idx)}
+        stolen_pos = {int(s): j for j, s in enumerate(stolen_idx)}
         frames: List[DownlinkFrame] = []
         tn, fn, mn = tn0, fn0, mn0
         for i in range(n):
@@ -434,6 +463,30 @@ class DownlinkReceiver:
                         frame.voice_block = block_from_soft_llrs(arr)
                     else:
                         frame.tch_bits = arr
+                frames.append(frame)
+            elif i in stolen_pos:
+                j = stolen_pos[i]
+                crc_ok = bool(stolen_res["ok"][j])
+                mac_bits = stolen_res["bits"][j]
+                mac_pdu = None
+                sds = None
+                if crc_ok:
+                    try:
+                        mac_pdu = self.parser.parse_mac_pdu(mac_bits)
+                        data = getattr(mac_pdu, "data", None)
+                        if data:
+                            sds = self.parser.parse_sds_data(bytes(data))
+                    except Exception:
+                        mac_pdu = None
+                # remaining traffic half-slot: bkn2 carries the first 216
+                # coded bits; the rest of the block is an erasure
+                frame = DownlinkFrame(
+                    i, tn, fn, mn, "NDB",
+                    f"STCH+{self.traffic_channel}", crc_ok, aach, margin,
+                    mac_bits=mac_bits, mac_pdu=mac_pdu, sds_message=sds,
+                    stolen=True,
+                    tch_llrs=np.concatenate([slots[i, 282:498],
+                                             np.zeros(216, np.float32)]))
                 frames.append(frame)
             else:
                 j = schf_pos[i]
