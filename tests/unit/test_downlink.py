@@ -329,3 +329,39 @@ class TestStealingAndControlFrame:
         assert tn2[1].voice_block is None            # fn18: control frame
         assert tn2[1].channel == "SCH/F"
         assert tn2[2].voice_block is not None        # fn1: traffic resumes
+
+
+class TestAfcAndBridge:
+    def test_auto_afc_recovers_offset_cell(self, cell):
+        tx = DownlinkTransmitter(cell)
+        pay = {1: make_mac_block_bits(b"OFFSET CELL"),
+               5: make_mac_block_bits(b"OFFSET CELL")}
+        iq = tx.modulate(tx.stream_bits(8, payloads=pay), snr_db=25, seed=1)
+        t = np.arange(len(iq)) / 2.4e6
+        shifted = (iq * np.exp(2j * np.pi * 2800.0 * t)).astype(np.complex64)
+
+        est = DownlinkReceiver.estimate_offset(shifted)
+        assert abs(est - 2800.0) < 600.0
+
+        frames = DownlinkReceiver().receive(shifted, freq_offset="auto")
+        good = [f for f in frames if f.crc_ok]
+        assert len(good) >= 6
+        assert any(f.sds_message and "OFFSET CELL" in f.sds_message
+                   for f in good)
+
+    def test_frame_dict_bridge_feeds_session(self, cell):
+        from tetraear_tpu.ui.session import SessionAggregator
+        tx = DownlinkTransmitter(cell)
+        pay = {1: make_mac_block_bits(b"BRIDGE MSG")}
+        frames = DownlinkReceiver().receive_bits(tx.stream_bits(6, pay))
+        agg = SessionAggregator()
+        rows = [agg.on_frame(f.to_frame_dict()) for f in frames]
+        assert len(rows) == 6
+        d = [f.to_frame_dict() for f in frames]
+        sb = [x for x in d if x["additional_info"]["burst"] == "SB"][0]
+        assert sb["additional_info"]["mcc"] == 262
+        assert sb["burst_crc"] is True
+        schf = [x for x in d if x.get("sds_message")][0]
+        assert "BRIDGE MSG" in schf["sds_message"]
+        assert schf["type_name"] == "MAC-RESOURCE"
+        assert schf["timeslot"] == 1          # TN2 -> reference 0-based

@@ -303,13 +303,18 @@ class TestShardedEtsiDownlink:
         rx_ref = MulticarrierDownlinkReceiver(num_carriers=2)
         soft, counts = rx_ref._compiled(len(x))(jnp.asarray(x))
         soft = np.asarray(soft)
-        n_cmp = min(stitched.shape[-1] // 2,
-                    soft.shape[1]) - 200        # clip tail edge effects
+        # interior = everything except the stream head/tail where shard 0
+        # and the last shard see wrapped/zero-padded halo context instead
+        # of the unsharded zero-padding (filter+resampler span < 100 syms)
+        n_cmp = min(stitched.shape[-1] // 2, soft.shape[1]) - 100
         for c in range(2):
-            a = stitched[c, :2 * n_cmp].reshape(-1, 2)
-            b = soft[c, :n_cmp]
-            agree = np.mean(np.sign(a[400:]) == np.sign(b[400:]))
-            assert agree > 0.999, f"carrier {c}: sign agreement {agree}"
+            a = stitched[c, :2 * n_cmp].reshape(-1, 2)[100:]
+            b = soft[c, :n_cmp][100:]
+            np.testing.assert_allclose(a, b, atol=1e-4,
+                                       err_msg=f"carrier {c} LLR values")
+            conf = np.abs(b) > 1e-3
+            assert np.array_equal(np.sign(a)[conf], np.sign(b)[conf]), \
+                f"carrier {c}: confident-bit sign mismatch"
 
     def test_sharded_downlink_decode_end_to_end(self):
         from tetraear_tpu.models.downlink import MulticarrierDownlinkReceiver

@@ -109,6 +109,51 @@ class DownlinkFrame:
     tch_bits: Optional[np.ndarray] = None   # depth-1 decoded traffic bits
     voice_block: Optional[bytes] = None     # TCH/S: 690-short codec block
     stolen: bool = False                    # NTS2: first half-slot = STCH
+
+    def to_frame_dict(self) -> dict:
+        """Bridge to the reference frame-dict schema so etsi downlink
+        frames flow through the existing session aggregator / validator /
+        JSONL recorder stack (decoder.py:960-972 key set, plus etsi
+        extras under additional_info)."""
+        type_name = None
+        if self.mac_pdu is not None:
+            t = getattr(self.mac_pdu, "pdu_type", None)
+            type_name = getattr(t, "name", None)
+            if type_name:
+                type_name = type_name.replace("_", "-")
+        elif self.sync_pdu is not None:
+            type_name = "BROADCAST"
+        out = {
+            "number": self.slot_index,
+            "timeslot": self.tn - 1,
+            "type_name": type_name or self.channel,
+            "burst_crc": bool(self.crc_ok),
+            "encrypted": self.encrypted and not self.decrypted,
+            "decrypted": self.decrypted,
+            "sds_message": self.sds_message,
+            "best_score": self.decrypt_score,
+            "key_used": self.key_used,
+            "additional_info": {
+                "profile": "etsi-downlink",
+                "fn": self.fn, "mn": self.mn, "tn": self.tn,
+                "burst": self.burst_kind, "channel": self.channel,
+                "stolen": self.stolen,
+                "aach_usage": (self.aach.downlink_usage
+                               if self.aach else None),
+            },
+        }
+        if self.sync_pdu is not None:
+            out["additional_info"]["mcc"] = self.sync_pdu.mcc
+            out["additional_info"]["mnc"] = self.sync_pdu.mnc
+            out["additional_info"]["colour_code"] = \
+                self.sync_pdu.colour_code
+        if self.mac_pdu is not None:
+            data = getattr(self.mac_pdu, "data", None)
+            out["mac_pdu"] = {
+                "address": getattr(self.mac_pdu, "address", None),
+                "data": bytes(data).hex() if data else "",
+            }
+        return out
     encrypted: bool = False
     decrypted: bool = False
     decrypted_data: Optional[bytes] = None
@@ -231,13 +276,8 @@ class DownlinkTransmitter:
         rng = np.random.default_rng(seed)
         lead = rng.integers(0, 2, 2 * lead_symbols).astype(np.uint8)
         syms = synth.bits_to_symbols(np.concatenate([lead, bits]))
-        phasors = synth.synthesize_symbol_phasors(syms, mapping="pi4")
-        x = synth.upsample_hold(phasors, sample_rate, C.SYMBOL_RATE_HZ)
-        if snr_db is not None:
-            std = 10 ** (-snr_db / 20) / np.sqrt(2)
-            x = x + std * (rng.standard_normal(len(x))
-                           + 1j * rng.standard_normal(len(x)))
-        return x.astype(np.complex64)
+        return synth.synthesize_iq(syms, sample_rate, snr_db=snr_db,
+                                   mapping="pi4", seed=seed)
 
 
 # ---------------------------------------------------------------------------
@@ -260,7 +300,7 @@ def _pattern_corr(hard_bits: np.ndarray, pattern: np.ndarray) -> np.ndarray:
 class DownlinkReceiver:
     """Blind cell acquisition + slot-grid decode over a soft-bit stream."""
 
-    STS_THRESHOLD = 0.87          # 33/38 midamble bits
+    STS_THRESHOLD = 0.87          # >= 34/38 midamble bits (33/38 = .868)
 
     def __init__(self, config: ReceiverConfig | None = None,
                  traffic_channel: str = "TCH/S", traffic_depth: int = 1,
@@ -293,10 +333,38 @@ class DownlinkReceiver:
         llrs = np.asarray(bits).astype(np.float32) * 2 - 1
         return self.receive_soft(llrs)
 
+    @staticmethod
+    def estimate_offset(iq, sample_rate_hz: float = C.DEFAULT_SAMPLE_RATE_HZ,
+                        search_hz: float = 20_000.0) -> float:
+        """Carrier-offset estimate: linear-power spectral centroid over the
+        search band.  A TETRA emission is ~25 kHz of near-symmetric power,
+        so the centroid tracks the shift directly — more robust than the
+        reference's peak-bin AFC (modern.py:1967) on modulated signals.
+        The DQPSK quantizer tolerates ~1 kHz residual; the centroid lands
+        well inside that at workable SNR (pinned by test)."""
+        from tetraear_tpu.ops import spectrum as sp
+        n_fft = C.SPECTRUM_FFT_SIZE
+        x = jnp.asarray(iq[: (len(iq) // n_fft) * n_fft], jnp.complex64)
+        if x.shape[-1] < n_fft:
+            return 0.0
+        p_db = np.asarray(sp.spectrum_frames_dbfs(x, n_fft)).mean(axis=0)
+        freqs = sp.fft_freqs(n_fft, sample_rate_hz)
+        mask = np.abs(freqs) <= search_hz
+        p = 10.0 ** (p_db[mask] / 10.0)
+        return float(np.sum(freqs[mask] * p) / max(np.sum(p), 1e-12))
+
     # --- IQ entry ---
-    def receive(self, iq, freq_offset: float = 0.0) -> List[DownlinkFrame]:
+    def receive(self, iq, freq_offset: float | str = 0.0
+                ) -> List[DownlinkFrame]:
+        from tetraear_tpu.utils.backend import pull_with_watchdog
+        if freq_offset == "auto":
+            freq_offset = self.estimate_offset(
+                iq, self.rx.config.sample_rate_hz)
         res = self.rx(iq, freq_offset)
-        count = int(res.count)
+        # first D2H pull proves execution; watchdogged because the
+        # degraded tunnel hangs rather than erroring (CLAUDE.md)
+        count = pull_with_watchdog(lambda: int(res.count),
+                                   what="downlink demod sync")
         if count < 2:
             return []
         soft = np.asarray(res.soft_bits)[:count - 1].reshape(-1)
@@ -576,9 +644,12 @@ class MulticarrierDownlinkReceiver:
         self._cells = [DownlinkReceiver(base, traffic_channel,
                                         traffic_depth)
                        for _ in range(num_carriers)]
+        self._run = None          # per-instance (jit retraces per shape)
 
-    @functools.lru_cache(maxsize=4)
     def _compiled(self, n: int):
+        del n                     # jax.jit keys on shapes itself
+        if self._run is not None:
+            return self._run
         import jax
 
         from tetraear_tpu.ops import channelizer, dqpsk, fir, resample, \
@@ -603,14 +674,17 @@ class MulticarrierDownlinkReceiver:
             chans = channelizer.channelize(x, offsets, cfg.sample_rate_hz,
                                            decim, taps_d)
             return jax.vmap(tail)(chans)
+        self._run = run
         return run
 
     def receive(self, iq) -> List[List[DownlinkFrame]]:
         """Wideband IQ -> per-carrier decoded downlink frames."""
+        from tetraear_tpu.utils.backend import pull_with_watchdog
         iq = jnp.asarray(iq, jnp.complex64)
         soft_bits, counts = self._compiled(int(iq.shape[-1]))(iq)
+        counts = pull_with_watchdog(lambda: np.asarray(counts),
+                                    what="multicarrier demod sync")
         soft_bits = np.asarray(soft_bits)
-        counts = np.asarray(counts)
         out: List[List[DownlinkFrame]] = []
         for c in range(self.num_carriers):
             m = int(counts[c])

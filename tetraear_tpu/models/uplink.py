@@ -71,15 +71,9 @@ class UplinkTransmitter:
         for b in burst_bits:
             pieces.append(np.asarray(b).astype(np.uint8))
             pieces.append(rng.integers(0, 2, gap_bits).astype(np.uint8))
-        bits = np.concatenate(pieces)
-        syms = synth.bits_to_symbols(bits)
-        phasors = synth.synthesize_symbol_phasors(syms, mapping="pi4")
-        x = synth.upsample_hold(phasors, sample_rate, C.SYMBOL_RATE_HZ)
-        if snr_db is not None:
-            std = 10 ** (-snr_db / 20) / np.sqrt(2)
-            x = x + std * (rng.standard_normal(len(x))
-                           + 1j * rng.standard_normal(len(x)))
-        return x.astype(np.complex64)
+        syms = synth.bits_to_symbols(np.concatenate(pieces))
+        return synth.synthesize_iq(syms, sample_rate, snr_db=snr_db,
+                                   mapping="pi4", seed=seed)
 
 
 class UplinkMonitor:
@@ -95,8 +89,10 @@ class UplinkMonitor:
         self.parser = TetraProtocolParser()
 
     def receive(self, iq, freq_offset: float = 0.0) -> List[UplinkFrame]:
+        from tetraear_tpu.utils.backend import pull_with_watchdog
         res = self.rx(iq, freq_offset)
-        count = int(res.count)
+        count = pull_with_watchdog(lambda: int(res.count),
+                                   what="uplink demod sync")
         if count < 2:
             return []
         soft = np.asarray(res.soft_bits)[:count - 1].reshape(-1)

@@ -5,10 +5,14 @@ k(i) = (a * i) mod K (1-indexed in the spec; 0-indexed here with the same
 residue structure).  Standard (K, a) pairs:
 
     BSCH        K=120,  a=11
+    SCH/HU      K=168,  a=13
     SCH/HD, BNCH, STCH  K=216, a=101
     SCH/F       K=432,  a=103
-    TCH/4.8,7.2 use an additional N-block inter-burst interleaver (not yet
-    implemented; single-burst path covers control/signalling channels).
+
+TCH/4.8 and TCH/2.4 additionally spread each coded block diagonally over
+N consecutive bursts (N in {1, 4, 8}) — interleave_multiburst /
+deinterleave_multiburst below; TCH/7.2 is uncoded and un-interleaved
+(ops/channel_coding.TCH_GEOMETRY).
 
 Interleave/de-interleave are pure gathers with precomputed index vectors —
 free on TPU (fused into surrounding ops by XLA).

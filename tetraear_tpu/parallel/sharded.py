@@ -259,10 +259,11 @@ def _shard_step_etsi(x_local: jnp.ndarray, offsets_local: jnp.ndarray,
     idx = best[:, None] + jnp.arange(m_ext, dtype=jnp.int32)[None, :] * sps
     symbols = jnp.take_along_axis(z, idx, axis=-1)              # (Cl, M_ext)
 
-    prev = carry_last(symbols, TIME_AXIS)
-    seeded = jnp.concatenate([prev[:, None], symbols], axis=-1)
-    soft = dqpsk.demodulate_soft(seeded)                        # (Cl, M_ext, 2)
-    llrs = soft.soft_bits[:, 1:, :]      # drop seed diff (halos overlap)
+    # differential context comes from the halo overlap itself — the
+    # extended segment's first symbol already has a predecessor in-block
+    # for every owned symbol, so no cross-shard carry is needed here
+    soft = dqpsk.demodulate_soft(symbols)                       # (Cl, M_ext-1, 2)
+    llrs = soft.soft_bits
     flat = llrs.reshape(llrs.shape[0], -1)                      # (Cl, 2(M_ext-1))
 
     return (flat[:, None, :],

@@ -214,17 +214,21 @@ def cmd_downlink(args) -> int:
                                               DownlinkTransmitter)
 
     if args.simulate:
+        from tetraear_tpu.ops.channel_coding import TCH_GEOMETRY
         from tetraear_tpu.utils.synth import make_mac_block_bits
         cell = DownlinkConfig()
         tx = DownlinkTransmitter(cell)
         rng = np.random.default_rng(0)
+        # 268-bit SCH/F block fits 29 payload bytes after the 35-bit header
         payloads = {k: make_mac_block_bits(
-            f"{args.message} #{k}".encode()[:30], seed=k)
+            f"{args.message} #{k}".encode()[:29], seed=k)
             for k in range(args.slots) if k % 4 == 1}
-        voc = rng.integers(0, 2, (max(1, args.slots // 4), 432)
+        k1 = TCH_GEOMETRY[args.traffic_channel][0]
+        voc = rng.integers(0, 2, (max(1, args.slots // 4), k1)
                            ).astype(np.uint8)
         bits = tx.stream_bits(args.slots, payloads=payloads,
-                              tch_streams={3: ("TCH/S", voc, 1)})
+                              tch_streams={3: (args.traffic_channel, voc,
+                                               args.traffic_depth)})
         iq = tx.modulate(bits, snr_db=args.snr_db, seed=1)
         if args.iq_file:
             iq.tofile(args.iq_file)
@@ -283,6 +287,13 @@ def cmd_downlink(args) -> int:
     if out:
         out.close()
         print(f"[OUT] {args.out_jsonl}")
+    if args.traffic_depth > 1:
+        # deep-interleaved data channels resolve per TN after the walk
+        for t in sorted({f.tn for f in frames if f.tch_llrs is not None}):
+            blocks = rx.decode_traffic_stream(frames, tn=t)
+            print(f"[TCH] TN{t}: {blocks.shape[0]} "
+                  f"{args.traffic_channel} blocks de-interleaved "
+                  f"(depth {args.traffic_depth})")
     rate = len(iq) / max(dt, 1e-9) / 1e6
     print(f"[DONE] {len(frames)} slots, {crc_pass} CRC-pass, "
           f"{voice_blocks} voice blocks  [{rate:.2f} MS/s]")

@@ -107,6 +107,35 @@ def apply_platform(platform: str) -> None:
         jax.config.update("jax_platforms", "cpu")
 
 
+def pull_with_watchdog(fn, timeout_s: float = 120.0,
+                       what: str = "device read"):
+    """Run a device-to-host-pulling callable under a watchdog thread.
+
+    The degraded remote-TPU tunnel's dominant failure mode is a HANG on
+    D2H (not an exception) — this converts it into a RuntimeError that
+    run_with_cpu_fallback recognizes, so user-facing commands freeze for
+    at most `timeout_s` instead of forever.
+    """
+    import threading
+    result: dict = {}
+
+    def work():
+        try:
+            result["v"] = fn()
+        except BaseException as e:      # noqa: BLE001 — re-raised below
+            result["e"] = e
+
+    th = threading.Thread(target=work, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if "v" in result:
+        return result["v"]
+    if "e" in result:
+        raise result["e"]
+    raise RuntimeError(f"UNAVAILABLE: {what} timed out after "
+                       f"{timeout_s:.0f}s (accelerator hang)")
+
+
 def is_backend_error(exc: BaseException) -> bool:
     """True for accelerator-runtime failures worth a CPU retry."""
     name = type(exc).__name__
