@@ -365,3 +365,43 @@ class TestAfcAndBridge:
         assert "BRIDGE MSG" in schf["sds_message"]
         assert schf["type_name"] == "MAC-RESOURCE"
         assert schf["timeslot"] == 1          # TN2 -> reference 0-based
+
+
+class TestCellSurvey:
+    def test_survey_finds_all_cells(self):
+        from tetraear_tpu.models.downlink import survey_cells
+        from tetraear_tpu.ops.channelizer import carrier_grid
+        offsets = carrier_grid(4)
+        live = {0: (262, 101, 3), 2: (262, 202, 7)}   # carriers 1,3 empty
+        mix = None
+        n_keep = None
+        for c, (mcc, mnc, cc_) in live.items():
+            tx = DownlinkTransmitter(DownlinkConfig(mcc=mcc, mnc=mnc,
+                                                    colour_code=cc_))
+            iq = tx.modulate(tx.stream_bits(6), seed=c)
+            t = np.arange(len(iq)) / 2.4e6
+            s = iq * np.exp(2j * np.pi * offsets[c] * t)
+            mix = s if mix is None else mix[:len(s)] + s[:len(mix)]
+        mix = (mix / 2).astype(np.complex64)
+
+        reports = survey_cells(mix, num_carriers=4)
+        assert {r.carrier_index for r in reports} == {0, 2}
+        by_c = {r.carrier_index: r for r in reports}
+        assert (by_c[0].mnc, by_c[0].colour_code) == (101, 3)
+        assert (by_c[2].mnc, by_c[2].colour_code) == (202, 7)
+        assert all(r.crc_rate > 0.8 for r in reports)
+        assert all(r.location_area == 999 for r in reports)
+
+    def test_call_metadata_flows(self, cell):
+        # a resource-assignment-looking MAC PDU should yield call metadata
+        tx = DownlinkTransmitter(cell)
+        pay = {1: make_mac_block_bits(bytes([0x01, 0x02, 0x03, 0x04,
+                                             0x05]))}
+        frames = DownlinkReceiver().receive_bits(tx.stream_bits(4, pay))
+        schf = [f for f in frames if f.mac_pdu is not None]
+        assert schf
+        d = schf[0].to_frame_dict()
+        # call_metadata may or may not parse depending on heuristics, but
+        # the bridge must carry it as a dict when present
+        if schf[0].call_metadata is not None:
+            assert isinstance(d["call_metadata"], dict)

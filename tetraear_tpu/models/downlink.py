@@ -105,10 +105,16 @@ class DownlinkFrame:
     mac_bits: Optional[np.ndarray] = None
     mac_pdu: Optional[object] = None
     sds_message: Optional[str] = None
+    call_metadata: Optional[object] = None
     tch_llrs: Optional[np.ndarray] = None   # raw 432 coded soft bits
     tch_bits: Optional[np.ndarray] = None   # depth-1 decoded traffic bits
     voice_block: Optional[bytes] = None     # TCH/S: 690-short codec block
     stolen: bool = False                    # NTS2: first half-slot = STCH
+    encrypted: bool = False
+    decrypted: bool = False
+    decrypted_data: Optional[bytes] = None
+    key_used: Optional[str] = None
+    decrypt_score: int = 0
 
     def to_frame_dict(self) -> dict:
         """Bridge to the reference frame-dict schema so etsi downlink
@@ -153,12 +159,10 @@ class DownlinkFrame:
                 "address": getattr(self.mac_pdu, "address", None),
                 "data": bytes(data).hex() if data else "",
             }
+        if self.call_metadata is not None:
+            import dataclasses as _dc
+            out["call_metadata"] = _dc.asdict(self.call_metadata)
         return out
-    encrypted: bool = False
-    decrypted: bool = False
-    decrypted_data: Optional[bytes] = None
-    key_used: Optional[str] = None
-    decrypt_score: int = 0
 
 
 class DownlinkTransmitter:
@@ -562,17 +566,21 @@ class DownlinkReceiver:
                 mac_bits = schf_res["bits"][j]
                 mac_pdu = None
                 sds = None
+                meta = None
                 if crc_ok and mac_bits.any():
                     try:
                         mac_pdu = self.parser.parse_mac_pdu(mac_bits)
                         data = getattr(mac_pdu, "data", None)
                         if data and not getattr(mac_pdu, "encrypted", False):
                             sds = self.parser.parse_sds_data(bytes(data))
+                        if mac_pdu is not None:
+                            meta = self.parser.parse_call_metadata(mac_pdu)
                     except Exception:
                         mac_pdu = None
                 frame = DownlinkFrame(
                     i, tn, fn, mn, "NDB", "SCH/F", crc_ok, aach, margin,
                     mac_bits=mac_bits, mac_pdu=mac_pdu, sds_message=sds,
+                    call_metadata=meta,
                     encrypted=bool(getattr(mac_pdu, "encrypted", False)))
                 if frame.encrypted and self._decryptor is not None:
                     self._try_decrypt(frame)
@@ -694,3 +702,48 @@ class MulticarrierDownlinkReceiver:
             llrs = soft_bits[c, :m - 1].reshape(-1)
             out.append(self._cells[c].receive_soft(llrs))
         return out
+
+
+@dataclass
+class CellReport:
+    """One cell found by a wideband survey."""
+    carrier_index: int
+    offset_hz: float
+    mcc: int
+    mnc: int
+    colour_code: int
+    location_area: Optional[int]
+    main_carrier: Optional[int]
+    slots_decoded: int
+    crc_rate: float
+
+
+def survey_cells(iq, num_carriers: int = 16,
+                 spacing_hz: float = 25_000.0,
+                 config: ReceiverConfig | None = None) -> List[CellReport]:
+    """Wideband cell survey: channelize the capture, blind-acquire every
+    25 kHz channel, and report each live cell's identity — the etsi
+    upgrade of the reference's scanner (which steps a single receiver
+    across the band with per-channel retune dwells, scanner.py:325; here
+    one capture covers the whole span and the device does all carriers
+    at once)."""
+    rx = MulticarrierDownlinkReceiver(num_carriers, config, spacing_hz)
+    per_carrier = rx.receive(iq)
+    reports: List[CellReport] = []
+    for c, frames in enumerate(per_carrier):
+        sbs = [f for f in frames if f.sync_pdu is not None]
+        if not sbs:
+            continue
+        sb = sbs[0]
+        sysinfos = [f.sysinfo for f in frames if f.sysinfo is not None]
+        crc_rate = (sum(f.crc_ok for f in frames) / len(frames)
+                    if frames else 0.0)
+        reports.append(CellReport(
+            carrier_index=c,
+            offset_hz=float(rx.offsets[c]),
+            mcc=sb.sync_pdu.mcc, mnc=sb.sync_pdu.mnc,
+            colour_code=sb.sync_pdu.colour_code,
+            location_area=(sysinfos[0].location_area if sysinfos else None),
+            main_carrier=(sysinfos[0].main_carrier if sysinfos else None),
+            slots_decoded=len(frames), crc_rate=crc_rate))
+    return reports

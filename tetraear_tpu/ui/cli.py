@@ -239,10 +239,26 @@ def cmd_downlink(args) -> int:
             return 1
         iq = np.fromfile(args.iq_file, dtype=np.complex64)
 
+    if args.survey > 0:
+        from tetraear_tpu.models.downlink import survey_cells
+        t0 = time.time()
+        cells = survey_cells(iq, num_carriers=args.survey)
+        dt = time.time() - t0
+        for r in cells:
+            print(f"carrier {r.carrier_index:3d} ({r.offset_hz/1e3:+7.1f} "
+                  f"kHz): MCC={r.mcc} MNC={r.mnc} CC={r.colour_code} "
+                  f"LA={r.location_area} slots={r.slots_decoded} "
+                  f"crc={100*r.crc_rate:.0f}%")
+        print(f"[DONE] {len(cells)} cells found across {args.survey} "
+              f"carriers  [{len(iq)/max(dt,1e-9)/1e6:.2f} MS/s]")
+        return 0
+
     rx = DownlinkReceiver(traffic_channel=args.traffic_channel,
                           traffic_depth=args.traffic_depth)
+    offset = ("auto" if args.freq_offset == "auto"
+              else float(args.freq_offset))
     t0 = time.time()
-    frames = rx.receive(iq, freq_offset=args.freq_offset)
+    frames = rx.receive(iq, freq_offset=offset)
     dt = time.time() - t0
     if not frames:
         print(_c("yellow", "[NO CELL] no decodable synchronization burst"))
@@ -553,7 +569,12 @@ def main(argv=None) -> int:
                       help="slots to simulate")
     p_dl.add_argument("--snr-db", type=float, default=25.0)
     p_dl.add_argument("--message", type=str, default="DOWNLINK SDS")
-    p_dl.add_argument("--freq-offset", type=float, default=0.0)
+    p_dl.add_argument("--freq-offset", type=str, default="0",
+                      help="carrier offset in Hz, or 'auto' (spectral-"
+                           "centroid AFC)")
+    p_dl.add_argument("--survey", type=int, default=0, metavar="N",
+                      help="wideband cell survey over N 25 kHz carriers "
+                           "instead of single-cell decode")
     p_dl.add_argument("--traffic-channel", type=str, default="TCH/S",
                       choices=["TCH/S", "TCH/7.2", "TCH/4.8", "TCH/2.4"])
     p_dl.add_argument("--traffic-depth", type=int, default=1,
