@@ -33,12 +33,41 @@ def main() -> int:
     ap.add_argument("--true-rate", action="store_true",
                     help="use the real 18 kHz symbol rate (etsi profile "
                          "territory) instead of the 130-sample ref grid")
+    ap.add_argument("--downlink", action="store_true",
+                    help="generate a full ETSI TDMA downlink capture "
+                         "(SB/SYSINFO/AACH + SDS on SCH/F + TCH/S voice) "
+                         "instead of bare golden slots; decode with "
+                         "'tetraear_tpu downlink <file>'")
+    ap.add_argument("--slots", type=int, default=16,
+                    help="(--downlink) TDMA slots to generate")
     args = ap.parse_args()
 
     import jax
     jax.config.update("jax_platforms", "cpu")
     from tetraear_tpu.io.replay import save_iq
     from tetraear_tpu.utils import synth
+
+    if args.downlink:
+        from tetraear_tpu.models.downlink import (DownlinkConfig,
+                                                  DownlinkTransmitter)
+        rng = np.random.default_rng(args.seed)
+        tx = DownlinkTransmitter(DownlinkConfig())
+        payloads = {k: synth.make_mac_block_bits(
+            args.payload.encode()[:29], seed=args.seed + k)
+            for k in range(args.slots) if k % 4 == 1}
+        voc = rng.integers(0, 2, (max(1, args.slots // 4), 432)
+                           ).astype(np.uint8)
+        bits = tx.stream_bits(args.slots, payloads=payloads,
+                              tch_streams={3: ("TCH/S", voc, 1)})
+        iq = tx.modulate(bits, snr_db=args.snr, seed=args.seed)
+        if args.offset_hz:
+            t = np.arange(len(iq)) / 2.4e6
+            iq = (iq * np.exp(2j * np.pi * args.offset_hz * t))
+        save_iq(args.out, iq.astype(np.complex64), sample_rate=2.4e6,
+                center_frequency=392.5e6)
+        print(f"wrote {args.out}: {len(iq)} samples, {args.slots} "
+              f"downlink TDMA slots")
+        return 0
 
     stream = synth.make_stream_bits(num_frames=args.frames, lead_bits=64,
                                     seed=args.seed, golden=True,
