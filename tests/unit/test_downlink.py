@@ -405,3 +405,27 @@ class TestCellSurvey:
         # the bridge must carry it as a dict when present
         if schf[0].call_metadata is not None:
             assert isinstance(d["call_metadata"], dict)
+
+
+class TestSensitivity:
+    """Pin the receive chain's SNR floor (tools/sensitivity_sweep.py
+    methodology): the 25 kHz channel gets ~19.8 dB processing gain from
+    the 2.4 MHz capture, so wideband -12 dB = in-band ~8 dB — where
+    DQPSK + rate-2/3 soft Viterbi still decodes cleanly — while wideband
+    -16 dB (in-band ~4 dB) must collapse (a pass there would mean the
+    test is decoding something other than the air interface)."""
+
+    def test_clean_at_8db_inband_collapsed_at_4db(self, cell):
+        tx = DownlinkTransmitter(cell)
+        pay = {k: make_mac_block_bits(b"FLOOR", seed=k)
+               for k in range(8) if k % 4 != 0}
+        bits = tx.stream_bits(8, payloads=pay)
+        rx = DownlinkReceiver()
+
+        iq = tx.modulate(bits, snr_db=-12.0, seed=0)
+        frames = rx.receive(iq)
+        assert sum(f.crc_ok for f in frames) == 7
+
+        iq = tx.modulate(bits, snr_db=-16.0, seed=0)
+        frames = rx.receive(iq)
+        assert sum(f.crc_ok for f in frames) <= 2

@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Downlink sensitivity characterization: CRC-pass rate vs SNR.
+
+Sweeps AWGN over a synthesized ETSI TDMA downlink and reports the slot
+CRC-pass rate per SNR point — the receive chain's sensitivity curve.
+
+SNR here is *wideband-referenced* (noise power across the full 2.4 MHz
+capture): the 25 kHz TETRA channel enjoys ~19.8 dB of processing gain
+through the channel filter, so in-band SNR = wideband + 19.8 dB.
+Measured floor (pinned by tests/unit/test_downlink.py): 100% CRC at
+in-band ~8 dB, degradation at ~6 dB, collapse below ~5 dB — consistent
+with π/4-DQPSK + rate-2/3 soft Viterbi theory.
+
+Usage: python tools/sensitivity_sweep.py [--slots N] [--seeds K]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np  # noqa: E402
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--slots", type=int, default=12)
+    ap.add_argument("--seeds", type=int, default=3)
+    ap.add_argument("--snrs", type=float, nargs="*",
+                    default=[-6, -8, -10, -12, -13, -14, -15, -16])
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from tetraear_tpu.models.downlink import (DownlinkConfig,
+                                              DownlinkReceiver,
+                                              DownlinkTransmitter)
+    from tetraear_tpu.utils.synth import make_mac_block_bits
+
+    tx = DownlinkTransmitter(DownlinkConfig())
+    pay = {k: make_mac_block_bits(b"SENSITIVITY", seed=k)
+           for k in range(args.slots) if k % 4 != 0}
+    bits = tx.stream_bits(args.slots, payloads=pay)
+    expected = args.slots - 1          # lead-in costs the last partial slot
+
+    for snr in args.snrs:
+        ok = tot = acquired = 0
+        for seed in range(args.seeds):
+            iq = tx.modulate(bits, snr_db=snr, seed=seed)
+            frames = DownlinkReceiver().receive(iq)
+            acquired += bool(frames)
+            tot += expected
+            ok += sum(f.crc_ok for f in frames)
+        print(json.dumps({
+            "snr_wideband_db": snr,
+            "snr_inband_db": round(snr + 19.8, 1),
+            "crc_pass_rate": round(ok / tot, 3),
+            "acquisition_rate": round(acquired / args.seeds, 2)}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
