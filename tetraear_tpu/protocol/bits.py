@@ -24,6 +24,8 @@ __all__ = [
     "bits_to_int",
     "bits_to_binstr",
     "symbols_to_bit_pairs",
+    "pack_fields",
+    "BitCursor",
 ]
 
 
@@ -75,6 +77,53 @@ def bits_to_int(bits) -> int:
 def bits_to_binstr(bits) -> str:
     """Render bits as a '0101...' string (matches BitArray.bin)."""
     return "".join("1" if b else "0" for b in as_bit_array(bits))
+
+
+def pack_fields(pairs) -> np.ndarray:
+    """[(value, width), ...] -> uint8 bit array, each field MSB-first.
+
+    The layer-3 codecs (protocol/{mac,mle,cmce,mm}.py) and the broadcast
+    PDUs share this; values are masked to their width.
+    """
+    out = []
+    for value, width in pairs:
+        v = int(value) & ((1 << width) - 1)
+        out.extend((v >> (width - 1 - i)) & 1 for i in range(width))
+    return np.asarray(out, dtype=np.uint8)
+
+
+class BitCursor:
+    """Sequential big-endian bit reader over a 0/1 array.
+
+    ``take`` past the end raises ``ValueError`` — layer-3 parsers rely on
+    that to reject truncated/garbage PDUs instead of reading zeros.
+    """
+
+    def __init__(self, bits):
+        self.bits = as_bit_array(bits)
+        self.pos = 0
+
+    @property
+    def remaining(self) -> int:
+        return int(self.bits.size - self.pos)
+
+    def take(self, width: int) -> int:
+        if width > self.remaining:
+            raise ValueError(
+                f"bit underrun: need {width}, have {self.remaining}")
+        v = 0
+        for b in self.bits[self.pos:self.pos + width]:
+            v = (v << 1) | int(b)
+        self.pos += width
+        return v
+
+    def take_bits(self, width: int) -> np.ndarray:
+        if width > self.remaining:
+            raise ValueError(
+                f"bit underrun: need {width}, have {self.remaining}")
+        out = self.bits[self.pos:self.pos + width]
+        self.pos += width
+        return out
 
 
 def symbols_to_bit_pairs(symbols) -> np.ndarray:

@@ -35,6 +35,41 @@ def _gsm_map(code: int) -> str:
     return ""
 
 
+_GSM7_REVERSE = {ch: i for i, ch in enumerate(GSM7_DEFAULT_ALPHABET)
+                 if ch != "\x1b"}
+_GSM7_EXT_REVERSE = {ch: code for code, ch in GSM7_EXTENSION_TABLE.items()}
+
+
+def pack_gsm7(text: str) -> bytes:
+    """GSM 03.38 7-bit pack, LSB-first septets — exact inverse of
+    ``unpack_gsm7`` (pinned by the repo's golden vector: "hellohello" ->
+    E8329BFD4697D9EC37, reference test_gsm7.py:8-13).  Characters outside
+    the default + extension alphabets raise ``ValueError``.  Used by the
+    SDS-TL transmitter (protocol/sds_tl.py); the reference has no encode
+    direction at all.
+    """
+    septets: List[int] = []
+    for ch in text:
+        if ch in _GSM7_REVERSE:
+            septets.append(_GSM7_REVERSE[ch])
+        elif ch in _GSM7_EXT_REVERSE:
+            septets.extend([0x1B, _GSM7_EXT_REVERSE[ch]])
+        else:
+            raise ValueError(f"not GSM7-encodable: {ch!r}")
+    bits: List[int] = []
+    for code in septets:
+        bits.extend((code >> i) & 1 for i in range(7))
+    while len(bits) % 8:
+        bits.append(0)
+    out = bytearray()
+    for base in range(0, len(bits), 8):
+        b = 0
+        for i in range(8):
+            b |= bits[base + i] << i
+        out.append(b)
+    return bytes(out)
+
+
 def unpack_gsm7(data: bytes, septet_count: Optional[int] = None,
                 skip_bits: int = 0) -> str:
     """GSM 03.38 7-bit unpack, LSB-first septets (protocol.py:1114-1165)."""
