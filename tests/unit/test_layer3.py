@@ -289,6 +289,13 @@ class TestSdsTl:
         assert out.message_reference == 42
         assert out.protocol_id == sds_tl.PID_TEXT
 
+    def test_gsm7_padding_septet_stripped(self):
+        # 23 septets = 161 bits -> 21 bytes with 7 pad bits, which would
+        # decode as a trailing '@' without the strip rule
+        text = "DOWNLINK SDS via SDS-TL"
+        out = sds_tl.parse_sds_tl(sds_tl.build_text_transfer(text))
+        assert out.text == text
+
     def test_timestamp(self):
         out = sds_tl.parse_sds_tl(
             sds_tl.build_text_transfer("hi", timestamp=0x123456))

@@ -98,7 +98,15 @@ def _encode_text(text: str, coding: int) -> bytes:
 def _decode_text(data: bytes, coding: int) -> Optional[str]:
     try:
         if coding == Coding.GSM7:
-            return unpack_gsm7(data)
+            text = unpack_gsm7(data)
+            # GSM 03.38 padding ambiguity: when the packed text leaves
+            # exactly 7 spare bits (7*septets ≡ 1 mod 8), the zero pad
+            # decodes as a spurious trailing '@' — strip it (same
+            # convention as SMS decoders; a real trailing '@' in such
+            # lengths is indistinguishable on the wire)
+            if text.endswith("@") and (len(data) * 8) % 7 == 0:
+                text = text[:-1]
+            return text
         if coding == Coding.LATIN1:
             return data.decode("latin-1")
         if coding == Coding.UCS2:

@@ -215,6 +215,7 @@ def cmd_downlink(args) -> int:
 
     if args.simulate:
         from tetraear_tpu.ops.channel_coding import TCH_GEOMETRY
+        from tetraear_tpu.protocol import cmce, sds_tl
         from tetraear_tpu.utils.synth import make_mac_block_bits
         cell = DownlinkConfig()
         tx = DownlinkTransmitter(cell)
@@ -223,6 +224,25 @@ def cmd_downlink(args) -> int:
         payloads = {k: make_mac_block_bits(
             f"{args.message} #{k}".encode()[:29], seed=k)
             for k in range(args.slots) if k % 4 == 1}
+        # real CMCE signalling on TN4: group-call lifecycle + SDS-TL text
+        group, talker = 0x2328, 0x457
+        seq = [cmce.DSetup(call_identifier=41, call_priority=5,
+                           transmission_grant=1,
+                           calling_party=cmce.Address(1, talker)),
+               cmce.DTxGranted(call_identifier=41, transmission_grant=1,
+                               transmitting_party=cmce.Address(1, talker)),
+               cmce.DSdsData(calling_party=cmce.Address(1, talker),
+                             short_data_type=3,
+                             data_bits=sds_tl.build_text_transfer(
+                                 f"{args.message} via SDS-TL")),
+               cmce.DTxCeased(call_identifier=41),
+               cmce.DRelease(call_identifier=41, disconnect_cause=2)]
+        slot = 3
+        for pdu in seq:
+            if slot >= args.slots:
+                break
+            slot = tx.schedule_signalling(payloads, pdu, group, slot,
+                                          args.slots)
         k1 = TCH_GEOMETRY[args.traffic_channel][0]
         voc = rng.integers(0, 2, (max(1, args.slots // 4), k1)
                            ).astype(np.uint8)
@@ -281,6 +301,9 @@ def cmd_downlink(args) -> int:
                      f"carrier={f.sysinfo.main_carrier}")
         if f.mac_pdu is not None:
             desc = repr(bytes(f.mac_pdu.data))[1:]
+        if f.layer3:
+            from tetraear_tpu.protocol.layer3 import describe_pdu
+            desc = "; ".join(describe_pdu(r) for r in f.layer3)
         if f.sds_message:
             desc += f" {f.sds_message}"
         if f.voice_block:
