@@ -100,3 +100,65 @@ class TestMonitor:
         noise = (rng.standard_normal(150_000)
                  + 1j * rng.standard_normal(150_000)).astype(np.complex64)
         assert UplinkMonitor(ECC).receive(noise) == []
+
+
+class TestUplinkLayer3:
+    """True uplink layer 3 (MAC-ACCESS/MAC-DATA -> MLE -> U-* CMCE),
+    the structured alternative to the heuristic parse above."""
+
+    def test_u_sds_via_control_burst(self):
+        from tetraear_tpu.protocol import cmce, sds_tl
+        tx = UplinkTransmitter(ECC)
+        # SCH/HU fits ~10 octets of PDU: short status-length text via
+        # the fixed-width user-defined short data instead of SDS-TL
+        pdu = cmce.USdsData(called_party=cmce.Address(0, 0x2A),
+                            short_data_type=0, user_data=0xCAFE)
+        rng = np.random.default_rng(5)
+        stream = np.concatenate([
+            rng.integers(0, 2, 80).astype(np.uint8),
+            tx.access_cb(pdu, ssi=0xABCD),
+            rng.integers(0, 2, 80).astype(np.uint8)])
+        frames = UplinkMonitor(ECC).receive_bits(stream)
+        hit = [f for f in frames if f.layer3]
+        assert hit
+        r = hit[0].layer3[0]
+        assert r.name == "USdsData"
+        assert r.pdu.user_data == 0xCAFE
+        assert r.pdu.called_party.ssi == 0x2A
+        assert r.mac_pdu.address == 0xABCD
+
+    def test_u_setup_and_sds_tl_text_via_nub(self):
+        from tetraear_tpu.protocol import cmce, sds_tl
+        tx = UplinkTransmitter(ECC)
+        setup = cmce.USetup(basic_service_info=0,
+                            called_party=cmce.Address(1, 0x2328),
+                            call_priority=5)
+        sds = cmce.USdsData(called_party=cmce.Address(1, 0x2328),
+                            short_data_type=3,
+                            data_bits=sds_tl.build_text_transfer(
+                                "uplink report 7"))
+        rng = np.random.default_rng(6)
+        stream = np.concatenate([
+            rng.integers(0, 2, 64).astype(np.uint8),
+            tx.signalling_nub(setup, ssi=0x777),
+            rng.integers(0, 2, 64).astype(np.uint8),
+            tx.signalling_nub(sds, ssi=0x777),
+            rng.integers(0, 2, 64).astype(np.uint8)])
+        frames = [f for f in UplinkMonitor(ECC).receive_bits(stream)
+                  if f.layer3]
+        names = [f.layer3[0].name for f in frames]
+        assert names == ["USetup", "USdsData"]
+        assert frames[0].layer3[0].pdu.called_party.ssi == 0x2328
+        assert frames[1].sds_message == "uplink report 7"
+
+    def test_heuristic_fallback_preserved(self):
+        tx = UplinkTransmitter(ECC)
+        rng = np.random.default_rng(7)
+        stream = np.concatenate([
+            rng.integers(0, 2, 80).astype(np.uint8),
+            tx.nub_bits(make_mac_block_bits(b"LEGACY UPLINK", seed=8)),
+            rng.integers(0, 2, 80).astype(np.uint8)])
+        frames = UplinkMonitor(ECC).receive_bits(stream)
+        hit = [f for f in frames if f.mac_pdu is not None]
+        assert hit and bytes(hit[0].mac_pdu.data) == b"LEGACY UPLINK"
+        assert hit[0].layer3 is None

@@ -26,7 +26,9 @@ from tetraear_tpu import constants as C
 from tetraear_tpu.config import ReceiverConfig
 from tetraear_tpu.models.receiver_etsi import EtsiReceiver
 from tetraear_tpu.ops import channel_coding as cc
-from tetraear_tpu.protocol import bursts
+from tetraear_tpu.protocol import bursts, layer3
+from tetraear_tpu.protocol import mac as mac_l2
+from tetraear_tpu.protocol import mle
 from tetraear_tpu.protocol.parser import TetraProtocolParser
 from tetraear_tpu.utils import synth
 
@@ -40,6 +42,7 @@ class UplinkFrame:
     mac_bits: Optional[np.ndarray]
     mac_pdu: Optional[object] = None
     sds_message: Optional[str] = None
+    layer3: Optional[List[object]] = None   # routed Layer3Result list
 
 
 class UplinkTransmitter:
@@ -55,6 +58,22 @@ class UplinkTransmitter:
     def cb_bits(self, mac92: np.ndarray) -> np.ndarray:
         coded = cc.encode_channel(mac92, "SCH/HU", ecc30=self.ecc)
         return bursts.build_cb(coded)
+
+    # --- layer-3 signalling (uplink CMCE via MAC-ACCESS / MAC-DATA) ---
+    def access_cb(self, pdu, ssi: int) -> np.ndarray:
+        """U-plane CMCE PDU -> MAC-ACCESS -> control burst bits."""
+        tm = mle.wrap_mle(mle.PD.CMCE, pdu.build())
+        k1, _ = cc.CHANNEL_GEOMETRY["SCH/HU"]
+        block = mac_l2.MacAccess(address=ssi, tm_sdu=tm).build(k1)
+        return self.cb_bits(block)
+
+    def signalling_nub(self, pdu, ssi: int, training: int = 1
+                       ) -> np.ndarray:
+        """CMCE PDU -> MAC-DATA -> full normal uplink burst bits."""
+        tm = mle.wrap_mle(mle.PD.CMCE, pdu.build())
+        k1, _ = cc.CHANNEL_GEOMETRY["SCH/F"]
+        block = mac_l2.MacUplinkData(address=ssi, tm_sdu=tm).build(k1)
+        return self.nub_bits(block, training)
 
     def transmit(self, burst_bits: List[np.ndarray], gap_bits: int = 64,
                  sample_rate: float = C.DEFAULT_SAMPLE_RATE_HZ,
@@ -153,6 +172,24 @@ class UplinkMonitor:
         if not crc_ok:
             return None                  # correlator false alarm or noise
         mac_bits = np.asarray(dec.bits)
+        # true uplink layer 3 first (MAC-ACCESS / MAC-DATA -> U-* CMCE);
+        # heuristic parse is the fallback, as on the downlink
+        l3 = None
+        try:
+            results = layer3.decode_uplink_block(mac_bits, channel)
+            keep = [r for r in results
+                    if r.confident or (r.pdu is None and r.mac_pdu
+                                       is not None
+                                       and r.mac_pdu.encryption_mode)]
+            if keep:
+                l3 = keep
+        except ValueError:
+            pass
+        if l3 is not None:
+            sds = next((r.sds.text for r in l3
+                        if r.sds is not None and r.sds.text), None)
+            return UplinkFrame(kind, start, channel, crc_ok, mac_bits,
+                               None, sds, layer3=l3)
         mac_pdu = None
         sds = None
         try:

@@ -23,8 +23,8 @@ import numpy as np
 from tetraear_tpu.protocol import cmce, mac, mle, mm, sds_tl
 from tetraear_tpu.protocol.bits import as_bit_array
 
-__all__ = ["Layer3Result", "decode_mac_block", "decode_tm_sdu",
-           "Defragmenter", "describe_pdu"]
+__all__ = ["Layer3Result", "decode_mac_block", "decode_uplink_block",
+           "decode_tm_sdu", "Defragmenter", "describe_pdu"]
 
 
 @dataclass
@@ -90,6 +90,21 @@ def decode_mac_block(bits, uplink: bool = False) -> List[Layer3Result]:
             results.append(Layer3Result(mac_pdu=pdu))
             continue
         routed = decode_tm_sdu(pdu.tm_sdu, uplink=uplink)
+        routed.mac_pdu = pdu
+        results.append(routed)
+    return results
+
+
+def decode_uplink_block(bits, channel: str) -> List[Layer3Result]:
+    """Uplink block (MAC-ACCESS on SCH/HU, MAC-DATA on SCH/F) -> routed
+    layer-3 results, uplink CMCE registry.  Raises ValueError when the
+    block is not real uplink MAC."""
+    results: List[Layer3Result] = []
+    for pdu in mac.parse_uplink_block(as_bit_array(bits), channel):
+        if pdu.encryption_mode:
+            results.append(Layer3Result(mac_pdu=pdu))
+            continue
+        routed = decode_tm_sdu(pdu.tm_sdu, uplink=True)
         routed.mac_pdu = pdu
         results.append(routed)
     return results

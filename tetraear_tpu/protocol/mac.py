@@ -40,6 +40,7 @@ __all__ = [
     "MacResource", "MacFrag", "MacEnd", "ChannelAllocation",
     "AddressType", "parse_mac_block", "build_mac_block",
     "fragment_tm_sdu", "LI_FRAG_START", "LI_SECOND_HALF_STOLEN",
+    "MacAccess", "MacUplinkData", "parse_uplink_block",
 ]
 
 # Address types (§21.4.3.1 table 21.55)
@@ -388,6 +389,145 @@ def build_mac_block(pdus: List[object], block_bits: int) -> np.ndarray:
     if out.size < block_bits:
         out = np.concatenate([out, np.zeros(block_bits - out.size,
                                             np.uint8)])
+    return out
+
+
+# --------------------------------------------------------------------------
+# Uplink MAC PDUs (§21.4.2): MAC-ACCESS on SCH/HU, MAC-DATA on full-slot
+# uplink SCH/F.  Same codec discipline as the downlink PDUs above; the
+# uplink has no grant/channel-allocation elements, and SCH/HU's tiny
+# 92-bit block uses a 1-bit PDU type (0 = MAC-ACCESS, 1 = MAC-END-HU)
+# and 2-bit address types.
+# --------------------------------------------------------------------------
+
+_UL_ADDR_WIDTHS = {0: 24, 1: 10, 2: 24, 3: 24}   # SSI/event/USSI/SMI
+
+
+@dataclass
+class MacAccess:
+    """MAC-ACCESS (§21.4.2.1) on SCH/HU: the MS's random-access PDU."""
+    fill_ind: int = 0             # 1 (after the 1-bit PDU type)
+    encryption_mode: int = 0      # 2
+    address_type: int = 0         # 2 (0=SSI, 1=event label, 2=USSI, 3=SMI)
+    address: int = 0
+    length_flag: int = 0          # 1 (-> 5-bit length indication present)
+    length_indication: int = 0    # octets incl. header (as downlink)
+    tm_sdu: np.ndarray = field(default_factory=lambda: np.zeros(0, np.uint8))
+
+    def header_bits(self) -> int:
+        return 1 + 1 + 2 + 2 + _UL_ADDR_WIDTHS[self.address_type] + 1 + \
+            (5 if self.length_flag else 0)
+
+    def build(self, block_bits: Optional[int] = None) -> np.ndarray:
+        sdu = as_bit_array(self.tm_sdu)
+        hdr = 1 + 1 + 2 + 2 + _UL_ADDR_WIDTHS[self.address_type] + 1 + 5
+        total = hdr + sdu.size
+        li = (total + 7) // 8
+        pdu_bits = li * 8
+        fill_ind = 1 if pdu_bits > total else 0
+        pairs = [(0, 1), (fill_ind, 1), (self.encryption_mode, 2),
+                 (self.address_type, 2),
+                 (self.address, _UL_ADDR_WIDTHS[self.address_type]),
+                 (1, 1), (li, 5)]
+        out = np.concatenate([pack_fields(pairs), sdu])
+        if fill_ind:
+            out = _add_fill(out, pdu_bits)
+        if block_bits is not None:
+            assert out.size <= block_bits, "MAC-ACCESS exceeds the block"
+            out = np.concatenate(
+                [out, np.zeros(block_bits - out.size, np.uint8)])
+        return out
+
+    @classmethod
+    def parse(cls, cur: BitCursor) -> "MacAccess":
+        start = cur.pos
+        if cur.take(1) != 0:
+            raise ValueError("not a MAC-ACCESS")
+        a = cls(fill_ind=cur.take(1), encryption_mode=cur.take(2),
+                address_type=cur.take(2))
+        a.address = cur.take(_UL_ADDR_WIDTHS[a.address_type])
+        a.length_flag = cur.take(1)
+        if a.length_flag:
+            a.length_indication = cur.take(5)
+            hdr_used = cur.pos - start
+            pdu_bits = a.length_indication * 8
+            if pdu_bits < hdr_used or pdu_bits > hdr_used + cur.remaining:
+                raise ValueError("MAC-ACCESS length inconsistent")
+            body = cur.take_bits(pdu_bits - hdr_used)
+        else:
+            body = cur.take_bits(cur.remaining)
+        a.tm_sdu = _strip_fill(body) if a.fill_ind else body
+        return a
+
+
+@dataclass
+class MacUplinkData:
+    """MAC-DATA (§21.4.2.2) on uplink SCH/F: reserved-slot signalling."""
+    fill_ind: int = 0
+    encryption_mode: int = 0
+    address_type: int = 0         # 2-bit, as MAC-ACCESS
+    address: int = 0
+    length_indication: int = 0    # 6, same semantics as downlink
+    tm_sdu: np.ndarray = field(default_factory=lambda: np.zeros(0, np.uint8))
+
+    PDU_TYPE = 0b00
+
+    def header_bits(self) -> int:
+        return 2 + 1 + 2 + 2 + _UL_ADDR_WIDTHS[self.address_type] + 6
+
+    def build(self, block_bits: Optional[int] = None) -> np.ndarray:
+        sdu = as_bit_array(self.tm_sdu)
+        total = self.header_bits() + sdu.size
+        li = (total + 7) // 8
+        assert li < LI_FRAG_START
+        pdu_bits = li * 8
+        fill_ind = 1 if pdu_bits > total else 0
+        pairs = [(self.PDU_TYPE, 2), (fill_ind, 1),
+                 (self.encryption_mode, 2), (self.address_type, 2),
+                 (self.address, _UL_ADDR_WIDTHS[self.address_type]),
+                 (li, 6)]
+        out = np.concatenate([pack_fields(pairs), sdu])
+        if fill_ind:
+            out = _add_fill(out, pdu_bits)
+        if block_bits is not None:
+            assert out.size <= block_bits, "MAC-DATA exceeds the block"
+            out = np.concatenate(
+                [out, np.zeros(block_bits - out.size, np.uint8)])
+        return out
+
+    @classmethod
+    def parse(cls, cur: BitCursor) -> "MacUplinkData":
+        start = cur.pos
+        if cur.take(2) != cls.PDU_TYPE:
+            raise ValueError("not a MAC-DATA")
+        d = cls(fill_ind=cur.take(1), encryption_mode=cur.take(2),
+                address_type=cur.take(2))
+        d.address = cur.take(_UL_ADDR_WIDTHS[d.address_type])
+        d.length_indication = cur.take(6)
+        hdr_used = cur.pos - start
+        pdu_bits = d.length_indication * 8
+        if pdu_bits < hdr_used or pdu_bits > hdr_used + cur.remaining:
+            raise ValueError("MAC-DATA length inconsistent")
+        body = cur.take_bits(pdu_bits - hdr_used)
+        d.tm_sdu = _strip_fill(body) if d.fill_ind else body
+        return d
+
+
+def parse_uplink_block(bits, channel: str) -> List[object]:
+    """Uplink coded-channel block -> MAC PDUs.  channel: "SCH/HU" (92-bit
+    MAC-ACCESS) or "SCH/F" (268-bit MAC-DATA).  Raises ValueError on
+    malformed content (callers fall back to heuristics)."""
+    cur = BitCursor(as_bit_array(bits))
+    if channel == "SCH/HU":
+        return [MacAccess.parse(cur)]
+    out: List[object] = []
+    while cur.remaining >= 16:
+        nxt = cur.bits[cur.pos:cur.pos + 2]
+        if not nxt.any() and not cur.bits[cur.pos:].any():
+            break                         # zero tail
+        out.append(MacUplinkData.parse(cur))
+    if not out:
+        raise ValueError("no uplink MAC PDU in block")
     return out
 
 
