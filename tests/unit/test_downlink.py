@@ -534,3 +534,17 @@ class TestLayer3Downlink:
                and "FALLBACK MSG" in f.sds_message]
         assert hit and hit[0].layer3 is None
         assert hit[0].mac_pdu is not None
+
+    def test_group_attachment_ledger(self, cell):
+        from tetraear_tpu.protocol import mm
+        pdu = mm.DAttachDetachGroupIdentity()
+        pdu.set_groups([mm.GroupIdentity(gssi=9001, lifetime=2),
+                        mm.GroupIdentity(gssi=9002, attach=False,
+                                         detach_reason=2)])
+        rx, routed, frames = self._run_sequence(cell, [pdu],
+                                                group=0x555)
+        assert routed[0].name == "DAttachDetachGroupIdentity"
+        assert rx.group_attachments[9001]["attached"]
+        assert rx.group_attachments[9001]["ssi"] == 0x555
+        assert not rx.group_attachments[9002]["attached"]
+        assert rx.group_attachments[9002]["detach_reason"] == 2

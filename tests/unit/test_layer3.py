@@ -368,3 +368,25 @@ class TestCallTracker:
         tr = CallTracker()
         assert tr.update(cmce.DSdsData()) is None
         assert tr.update(cmce.DStatus()) is None
+
+
+class TestGroupIdentity:
+    def test_element_round_trip(self):
+        groups = [mm.GroupIdentity(gssi=9001, attach=True, lifetime=2,
+                                   class_of_usage=3),
+                  mm.GroupIdentity(gssi=9002, attach=False,
+                                   detach_reason=1),
+                  mm.GroupIdentity(gssi=9003, attach=True,
+                                   extension=0x123456)]
+        out = mm.parse_group_identity_list(
+            mm.build_group_identity_list(groups))
+        assert [g.gssi for g in out] == [9001, 9002, 9003]
+        assert out[0].attach and out[0].class_of_usage == 3
+        assert not out[1].attach and out[1].detach_reason == 1
+        assert out[2].extension == 0x123456
+
+    def test_through_mm_pdu(self):
+        p = mm.DAttachDetachGroupIdentity(group_identity_ack_request=1)
+        p.set_groups([mm.GroupIdentity(gssi=7777, lifetime=1)])
+        q = mm.parse_mm(p.build())
+        assert q.groups[0].gssi == 7777 and q.groups[0].attach

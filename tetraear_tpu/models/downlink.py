@@ -382,9 +382,11 @@ class DownlinkReceiver:
             self._decryptor = TetraDecoder(auto_decrypt=True)
             if keys:
                 self._decryptor.set_keys(list(keys))
-        # layer-3 state: per-TN TM-SDU reassembly + CMCE call ledger
+        # layer-3 state: per-TN TM-SDU reassembly + CMCE call ledger +
+        # MM group-attachment ledger (gssi -> last MM instruction)
         self._defrag: Dict[int, layer3.Defragmenter] = {}
         self.call_tracker = CallTracker()
+        self.group_attachments: Dict[int, dict] = {}
 
     # --- bit-level entry (unit tests / hard-decision paths) ---
     def receive_bits(self, bits: np.ndarray) -> List[DownlinkFrame]:
@@ -690,13 +692,21 @@ class DownlinkReceiver:
 
     def _consume_layer3(self, frame: DownlinkFrame,
                         res: "layer3.Layer3Result") -> None:
-        """Fold one routed PDU into the frame + the call ledger."""
+        """Fold one routed PDU into the frame + the call/group ledgers."""
+        from tetraear_tpu.protocol import mm
         addr = getattr(res.mac_pdu, "address", None)
         meta = self.call_tracker.update(res.pdu, mac_address=addr)
         if meta is not None:
             frame.call_metadata = meta
         if res.sds is not None and res.sds.text:
             frame.sds_message = res.sds.text
+        if isinstance(res.pdu, mm.DAttachDetachGroupIdentity):
+            for g in res.pdu.groups:
+                self.group_attachments[g.gssi] = {
+                    "attached": g.attach, "ssi": addr,
+                    "class_of_usage": g.class_of_usage if g.attach else
+                    None, "detach_reason": None if g.attach else
+                    g.detach_reason}
 
     def _candidate_keys(self):
         """(algorithm, key, label) candidates in the reference decrypt

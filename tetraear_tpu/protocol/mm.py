@@ -27,7 +27,8 @@ from tetraear_tpu.protocol.cmce import _build_optional, _parse_optional
 __all__ = ["DownlinkMmType", "parse_mm", "DLocationUpdateAccept",
            "DLocationUpdateCommand", "DLocationUpdateReject",
            "DLocationUpdateProceeding", "DAttachDetachGroupIdentity",
-           "DAttachDetachGroupIdentityAck", "DMmStatus", "GenericMm"]
+           "DAttachDetachGroupIdentityAck", "DMmStatus", "GenericMm",
+           "GroupIdentity", "GROUP_IDENTITY_DOWNLINK"]
 
 
 class DownlinkMmType:
@@ -127,10 +128,72 @@ class DLocationUpdateProceeding(_MmBase):
     TYPE2 = [("address_extension", 24)]
 
 
+# Type-3/4 element identifier for group identity lists (§16.10.x)
+GROUP_IDENTITY_DOWNLINK = 7
+
+
+@dataclass
+class GroupIdentity:
+    """One repeated element of the group-identity-downlink type-4
+    list (§16.10.10): attach (with lifetime + class of usage) or detach
+    (with reason) of one GSSI."""
+    gssi: int = 0
+    attach: bool = True
+    lifetime: int = 0             # 2 (attach only)
+    class_of_usage: int = 0       # 3 (attach only)
+    detach_reason: int = 0        # 2 (detach only)
+    extension: Optional[int] = None  # 24 when address type 1
+
+    def build(self) -> np.ndarray:
+        pairs = [(0 if self.attach else 1, 1)]
+        if self.attach:
+            pairs += [(self.lifetime, 2), (self.class_of_usage, 3)]
+        else:
+            pairs += [(self.detach_reason, 2)]
+        pairs.append((0 if self.extension is None else 1, 2))
+        pairs.append((self.gssi, 24))
+        if self.extension is not None:
+            pairs.append((self.extension, 24))
+        return pack_fields(pairs)
+
+    @classmethod
+    def parse(cls, cur: BitCursor) -> "GroupIdentity":
+        g = cls(attach=cur.take(1) == 0)
+        if g.attach:
+            g.lifetime = cur.take(2)
+            g.class_of_usage = cur.take(3)
+        else:
+            g.detach_reason = cur.take(2)
+        addr_type = cur.take(2)
+        g.gssi = cur.take(24)
+        if addr_type == 1:
+            g.extension = cur.take(24)
+        elif addr_type > 1:
+            raise ValueError("reserved group identity address type")
+        return g
+
+
+def build_group_identity_list(groups: List[GroupIdentity]) -> np.ndarray:
+    return (np.concatenate([g.build() for g in groups])
+            if groups else np.zeros(0, np.uint8))
+
+
+def parse_group_identity_list(bits) -> List[GroupIdentity]:
+    cur = BitCursor(bits)
+    out: List[GroupIdentity] = []
+    while cur.remaining >= 29:            # smallest element: detach+GSSI
+        try:
+            out.append(GroupIdentity.parse(cur))
+        except ValueError:                # trailing junk, stop cleanly
+            break
+    return out
+
+
 @dataclass
 class DAttachDetachGroupIdentity(_MmBase):
     """D-ATTACH-DETACH-GROUP-IDENTITY (§16.9.2.1): SwMI-initiated group
-    membership change; the groups ride in type-4 elements."""
+    membership change; the groups ride in a type-4 element
+    (GROUP_IDENTITY_DOWNLINK, decoded by the `groups` property)."""
     group_identity_report: int = 0         # 1
     group_identity_ack_request: int = 0    # 1
     attach_detach_mode: int = 0            # 1 (0=amendment, 1=detach all)
@@ -141,6 +204,19 @@ class DAttachDetachGroupIdentity(_MmBase):
              ("group_identity_ack_request", 1),
              ("attach_detach_mode", 1)]
     TYPE2 = []
+
+    @property
+    def groups(self) -> List[GroupIdentity]:
+        for ident, bits in self.type3:
+            if ident == GROUP_IDENTITY_DOWNLINK:
+                return parse_group_identity_list(bits)
+        return []
+
+    def set_groups(self, groups: List[GroupIdentity]) -> None:
+        self.type3 = [(i, b) for i, b in self.type3
+                      if i != GROUP_IDENTITY_DOWNLINK]
+        self.type3.append((GROUP_IDENTITY_DOWNLINK,
+                           build_group_identity_list(groups)))
 
 
 @dataclass

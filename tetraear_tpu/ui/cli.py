@@ -201,17 +201,92 @@ def cmd_listen(args) -> int:
     return 0
 
 
+def cmd_uplink(args) -> int:
+    """Isolated uplink-burst monitor: NUB/CB located by midamble
+    correlation, decoded with cell scrambling learned from the downlink
+    (models/uplink.py) — mobile-side monitoring the reference (downlink-
+    only, SURVEY §1) has no equivalent of.  --simulate synthesizes a
+    burst sequence (legacy-layout + true U-* CMCE layer 3) first."""
+    import dataclasses
+    import json
+
+    import numpy as np
+    from tetraear_tpu.models.uplink import UplinkMonitor, UplinkTransmitter
+    from tetraear_tpu.ops.scramble import extended_colour_code
+    from tetraear_tpu.protocol.layer3 import describe_pdu
+
+    ecc = extended_colour_code(args.mcc, args.mnc, args.colour_code)
+    if args.simulate:
+        from tetraear_tpu.protocol import cmce, sds_tl
+        from tetraear_tpu.utils.synth import make_mac_block_bits
+        tx = UplinkTransmitter(ecc)
+        bursts_tx = [
+            tx.nub_bits(make_mac_block_bits(b"LEGACY UPLINK SDS", seed=1)),
+            tx.access_cb(cmce.USdsData(called_party=cmce.Address(0, 0x2A),
+                                       short_data_type=0,
+                                       user_data=0xBEEF), ssi=0xABCD),
+            tx.signalling_nub(cmce.USetup(
+                basic_service_info=0, call_priority=5,
+                called_party=cmce.Address(1, 0x2328)), ssi=0x777),
+            tx.signalling_nub(cmce.USdsData(
+                called_party=cmce.Address(1, 0x2328), short_data_type=3,
+                data_bits=sds_tl.build_text_transfer("uplink report 7")),
+                ssi=0x777),
+        ]
+        iq = tx.transmit(bursts_tx, snr_db=args.snr_db, seed=2)
+        if args.iq_file:
+            iq.tofile(args.iq_file)
+            print(f"[SIM] wrote {len(iq)} samples -> {args.iq_file}")
+    else:
+        if not args.iq_file:
+            print(_c("red", "[FAIL] need an IQ file (or --simulate)"))
+            return 1
+        iq = np.fromfile(args.iq_file, dtype=np.complex64)
+
+    t0 = time.time()
+    frames = UplinkMonitor(ecc).receive(iq)
+    dt = time.time() - t0
+    out = open(args.out_jsonl, "w") if args.out_jsonl else None
+    for f in frames:
+        desc = ""
+        if f.layer3:
+            desc = "; ".join(describe_pdu(r) for r in f.layer3)
+        elif f.mac_pdu is not None:
+            desc = repr(bytes(f.mac_pdu.data))[1:]
+        if f.sds_message and f.sds_message not in desc:
+            desc += f" {f.sds_message}"
+        print(f"bit {f.start_bit:7d} {f.kind:3s} {f.channel:7s} "
+              f"crc={'Y' if f.crc_ok else 'n'} {desc}")
+        if out:
+            out.write(json.dumps({
+                "start_bit": f.start_bit, "kind": f.kind,
+                "channel": f.channel, "crc_ok": bool(f.crc_ok),
+                "sds": f.sds_message,
+                "layer3": ([describe_pdu(r) for r in f.layer3]
+                           if f.layer3 else None),
+                "mac_data": (bytes(f.mac_pdu.data).hex()
+                             if f.mac_pdu is not None else None)}) + "\n")
+    if out:
+        out.close()
+        print(f"[OUT] {args.out_jsonl}")
+    print(f"[DONE] {len(frames)} uplink bursts "
+          f"[{len(iq)/max(dt,1e-9)/1e6:.2f} MS/s]")
+    return 0
+
+
 def cmd_downlink(args) -> int:
     """Full ETSI downlink decode: blind cell acquisition (BSCH), TDMA
     tracking, AACH, SCH/F signalling + TCH traffic — the capability layer
     the reference lacks entirely (models/downlink.py).  With --simulate,
     synthesizes a downlink capture first and decodes it back."""
+    import dataclasses
     import json
 
     import numpy as np
     from tetraear_tpu.models.downlink import (DownlinkConfig,
                                               DownlinkReceiver,
                                               DownlinkTransmitter)
+    from tetraear_tpu.protocol.layer3 import describe_pdu
 
     if args.simulate:
         from tetraear_tpu.ops.channel_coding import TCH_GEOMETRY
@@ -302,7 +377,6 @@ def cmd_downlink(args) -> int:
         if f.mac_pdu is not None:
             desc = repr(bytes(f.mac_pdu.data))[1:]
         if f.layer3:
-            from tetraear_tpu.protocol.layer3 import describe_pdu
             desc = "; ".join(describe_pdu(r) for r in f.layer3)
         if f.sds_message:
             desc += f" {f.sds_message}"
@@ -322,6 +396,10 @@ def cmd_downlink(args) -> int:
                 "sds": f.sds_message,
                 "mac_data": (bytes(f.mac_pdu.data).hex()
                              if f.mac_pdu is not None else None),
+                "layer3": ([describe_pdu(r) for r in f.layer3]
+                           if f.layer3 else None),
+                "call": (dataclasses.asdict(f.call_metadata)
+                         if f.call_metadata is not None else None),
                 "voice": f.voice_block is not None}) + "\n")
     if out:
         out.close()
@@ -605,6 +683,21 @@ def main(argv=None) -> int:
     p_dl.add_argument("-o", "--out-jsonl", type=str, default=None)
     p_dl.add_argument("-v", "--verbose", action="store_true")
     p_dl.set_defaults(func=cmd_downlink)
+
+    p_ul = sub.add_parser("uplink",
+                          help="isolated uplink-burst monitor (NUB/CB)")
+    p_ul.add_argument("iq_file", type=str, nargs="?", default=None)
+    p_ul.add_argument("--simulate", action="store_true",
+                      help="synthesize uplink bursts and monitor them")
+    p_ul.add_argument("--snr-db", type=float, default=22.0)
+    p_ul.add_argument("--mcc", type=int, default=262)
+    p_ul.add_argument("--mnc", type=int, default=1001)
+    p_ul.add_argument("--colour-code", type=int, default=17,
+                      help="cell identity learned from the downlink BSCH "
+                           "(keys the uplink scrambling)")
+    p_ul.add_argument("-o", "--out-jsonl", type=str, default=None)
+    p_ul.add_argument("-v", "--verbose", action="store_true")
+    p_ul.set_defaults(func=cmd_uplink)
 
     p_scan = sub.add_parser("scan", help="scan a frequency range")
     p_scan.add_argument("start", type=float, help="start MHz")
