@@ -548,3 +548,40 @@ class TestLayer3Downlink:
         assert rx.group_attachments[9001]["ssi"] == 0x555
         assert not rx.group_attachments[9002]["attached"]
         assert rx.group_attachments[9002]["detach_reason"] == 2
+
+    def test_call_following_attributes_voice(self, cell):
+        # D-SETUP allocates TN3; the voice stream on TN3 must be
+        # attributed to the call's talkgroup from that point on
+        from tetraear_tpu.protocol import cmce
+        from tetraear_tpu.protocol.mac import ChannelAllocation
+        rng = np.random.default_rng(4)
+        voc = rng.integers(0, 2, (4, 432)).astype(np.uint8)
+        tx = DownlinkTransmitter(cell)
+        payloads = {}
+        alloc = ChannelAllocation(allocation_type=1, timeslots=0b0010,
+                                  carrier_number=3600)
+        tx.schedule_signalling(
+            payloads, cmce.DSetup(call_identifier=9, call_priority=2,
+                                  calling_party=cmce.Address(1, 0x10)),
+            0x5555, 1, 20, channel_allocation=alloc)
+        bits = tx.stream_bits(20, payloads=payloads,
+                              tch_streams={3: ("TCH/S", voc, 1)})
+        rx = DownlinkReceiver()
+        frames = rx.receive_bits(bits)
+        setup = [f for f in frames if f.call_metadata
+                 and f.call_metadata.call_type == "call_setup"][0]
+        assert setup.call_metadata.channel_allocated == 3600
+        voice = [f for f in frames if f.voice_block is not None]
+        assert voice
+        attributed = [f for f in voice if f.slot_index > setup.slot_index]
+        assert attributed
+        for f in attributed:
+            assert f.call_metadata is not None
+            assert f.call_metadata.call_identifier == 9
+            assert f.call_metadata.talkgroup_id == 0x5555
+            assert f.call_metadata.call_type == "traffic"
+        # voice before the setup has no call to belong to
+        for f in voice:
+            if f.slot_index < setup.slot_index:
+                assert f.call_metadata is None
+        assert rx.call_tracker.calls[9].allocated_tns == [3]

@@ -40,6 +40,8 @@ class CallState:
     is_speech: bool = True
     state: str = "setup"                  # setup|connected|active|released
     disconnect_cause: Optional[int] = None
+    allocated_tns: List[int] = field(default_factory=list)  # from MAC
+    allocated_carrier: Optional[int] = None
     history: List[str] = field(default_factory=list)
 
 
@@ -53,10 +55,32 @@ class CallTracker:
             self.calls[call_id] = CallState(call_id)
         return self.calls[call_id]
 
-    def update(self, pdu, mac_address: Optional[int] = None
-               ) -> Optional[CallMetadata]:
+    def update(self, pdu, mac_address: Optional[int] = None,
+               channel_allocation=None) -> Optional[CallMetadata]:
         """Apply one CMCE PDU; returns a CallMetadata snapshot for
-        call-control PDUs, None for non-call PDUs (SDS, status)."""
+        call-control PDUs, None for non-call PDUs (SDS, status).
+
+        channel_allocation: the MAC-RESOURCE channel-allocation element
+        (protocol/mac.ChannelAllocation) that rode the same MAC header —
+        it names the timeslot(s)/carrier the call's traffic is assigned
+        to (§21.5.2), which is what makes call-following possible."""
+        meta = self._update(pdu, mac_address)
+        if meta is not None and channel_allocation is not None:
+            c = self.calls.get(meta.call_identifier)
+            if c is None and self.released:
+                c = self.released[-1]
+            if c is not None:
+                c.allocated_tns = [tn for tn in range(1, 5)
+                                   if channel_allocation.timeslots
+                                   & (1 << (4 - tn))]
+                c.allocated_carrier = channel_allocation.carrier_number
+                meta.channel_allocated = (
+                    channel_allocation.carrier_number or
+                    (c.allocated_tns[0] if c.allocated_tns else None))
+        return meta
+
+    def _update(self, pdu, mac_address: Optional[int]
+                ) -> Optional[CallMetadata]:
         if isinstance(pdu, cmce.DSetup):
             c = self._get(pdu.call_identifier)
             c.group_ssi = mac_address
@@ -108,7 +132,9 @@ class CallTracker:
             talkgroup_id=c.group_ssi,
             source_ssi=c.talker_ssi or c.calling_ssi,
             dest_ssi=c.group_ssi,
-            channel_allocated=None,
+            channel_allocated=(c.allocated_carrier
+                               or (c.allocated_tns[0]
+                                   if c.allocated_tns else None)),
             call_identifier=c.call_id,
             call_priority=c.priority,
             duplex_mode="duplex" if c.simplex_duplex else "simplex",
@@ -117,3 +143,11 @@ class CallTracker:
     @property
     def active(self) -> List[CallState]:
         return [c for c in self.calls.values() if c.state != "released"]
+
+    def call_for_tn(self, tn: int) -> Optional[CallState]:
+        """The active call whose traffic is allocated to timeslot `tn`
+        (call-following: attributes TCH frames to their talkgroup)."""
+        for c in self.calls.values():
+            if c.state != "released" and tn in c.allocated_tns:
+                return c
+        return None

@@ -241,8 +241,8 @@ class DownlinkTransmitter:
 
     # --- layer-3 signalling (protocol/{mle,cmce,mm,mac}.py) ---
     def signalling_blocks(self, pdu, ssi: int, pd: Optional[int] = None,
-                          encryption_mode: int = 0,
-                          encryptor=None) -> List[np.ndarray]:
+                          encryption_mode: int = 0, encryptor=None,
+                          channel_allocation=None) -> List[np.ndarray]:
         """A CMCE/MM PDU -> one or more 268-bit SCH/F MAC blocks
         (MAC-RESOURCE, fragmented across MAC-FRAG/END when the TM-SDU
         exceeds one slot).  `ssi` is the layer-2 address (the group SSI
@@ -262,7 +262,8 @@ class DownlinkTransmitter:
                 raw += b"\x00" * (8 - len(raw) % 8)
             tm = bytes_to_bits(encryptor.encrypt(raw))
         first = mac_l2.MacResource(address=ssi,
-                                   encryption_mode=encryption_mode)
+                                   encryption_mode=encryption_mode,
+                                   channel_allocation=channel_allocation)
         k1, _ = cc.CHANNEL_GEOMETRY["SCH/F"]
         return [block for _, block in mac_l2.fragment_tm_sdu(tm, k1, first)]
 
@@ -591,6 +592,15 @@ class DownlinkReceiver:
                         frame.voice_block = block_from_soft_llrs(arr)
                     else:
                         frame.tch_bits = arr
+                # call-following: the tracker state at this point in the
+                # stream reflects all signalling before slot i, so a TN
+                # allocated by an earlier D-SETUP attributes this traffic
+                # to its call/talkgroup (the reference can only group
+                # voice by time gaps, listen_clear.py:65-106)
+                call = self.call_tracker.call_for_tn(tn)
+                if call is not None:
+                    frame.call_metadata = self.call_tracker._meta(
+                        call, "traffic")
                 frames.append(frame)
             elif i in stolen_pos:
                 j = stolen_pos[i]
@@ -695,7 +705,9 @@ class DownlinkReceiver:
         """Fold one routed PDU into the frame + the call/group ledgers."""
         from tetraear_tpu.protocol import mm
         addr = getattr(res.mac_pdu, "address", None)
-        meta = self.call_tracker.update(res.pdu, mac_address=addr)
+        alloc = getattr(res.mac_pdu, "channel_allocation", None)
+        meta = self.call_tracker.update(res.pdu, mac_address=addr,
+                                        channel_allocation=alloc)
         if meta is not None:
             frame.call_metadata = meta
         if res.sds is not None and res.sds.text:

@@ -299,8 +299,14 @@ def cmd_downlink(args) -> int:
         payloads = {k: make_mac_block_bits(
             f"{args.message} #{k}".encode()[:29], seed=k)
             for k in range(args.slots) if k % 4 == 1}
-        # real CMCE signalling on TN4: group-call lifecycle + SDS-TL text
+        # real CMCE signalling on TN4: group-call lifecycle + SDS-TL text;
+        # the D-SETUP's MAC channel allocation names TN3 (where the
+        # traffic stream below rides) so the receiver attributes the
+        # voice to call 41 / this talkgroup (call-following)
+        from tetraear_tpu.protocol.mac import ChannelAllocation
         group, talker = 0x2328, 0x457
+        alloc = ChannelAllocation(allocation_type=1, timeslots=0b0010,
+                                  carrier_number=cell.main_carrier)
         seq = [cmce.DSetup(call_identifier=41, call_priority=5,
                            transmission_grant=1,
                            calling_party=cmce.Address(1, talker)),
@@ -316,8 +322,10 @@ def cmd_downlink(args) -> int:
         for pdu in seq:
             if slot >= args.slots:
                 break
+            kw = ({"channel_allocation": alloc}
+                  if isinstance(pdu, cmce.DSetup) else {})
             slot = tx.schedule_signalling(payloads, pdu, group, slot,
-                                          args.slots)
+                                          args.slots, **kw)
         k1 = TCH_GEOMETRY[args.traffic_channel][0]
         voc = rng.integers(0, 2, (max(1, args.slots // 4), k1)
                            ).astype(np.uint8)
@@ -382,6 +390,9 @@ def cmd_downlink(args) -> int:
             desc += f" {f.sds_message}"
         if f.voice_block:
             desc = f"voice block ({len(f.voice_block)} B)"
+            if f.call_metadata is not None:
+                desc += (f" [call {f.call_metadata.call_identifier} "
+                         f"tg {f.call_metadata.talkgroup_id}]")
         print(f"TN{f.tn} FN{f.fn:2d} MN{f.mn:2d} {f.burst_kind:3s} "
               f"{f.channel:11s} crc={'Y' if f.crc_ok else 'n'} "
               f"aach={f.aach.downlink_usage:14s} {desc}")
