@@ -585,3 +585,24 @@ class TestLayer3Downlink:
             if f.slot_index < setup.slot_index:
                 assert f.call_metadata is None
         assert rx.call_tracker.calls[9].allocated_tns == [3]
+
+    def test_nwrk_broadcast_feeds_network_info(self, cell):
+        from tetraear_tpu.protocol import mle
+        pdu = mle.DNwrkBroadcast(
+            cell_reselect_parameters=5,
+            neighbours=[mle.NeighbourCell(cell_identifier=1,
+                                          main_carrier=3610),
+                        mle.NeighbourCell(cell_identifier=2,
+                                          main_carrier=3620)])
+        tx = DownlinkTransmitter(cell)
+        payloads = {}
+        tx.schedule_signalling(payloads, pdu, 0, 1, 8,
+                               pd=mle.PD.MLE)
+        frames = None
+        rx = DownlinkReceiver()
+        frames = rx.receive_bits(tx.stream_bits(8, payloads=payloads))
+        assert rx.network_info is not None
+        assert [n.main_carrier for n in rx.network_info.neighbours] == \
+            [3610, 3620]
+        routed = [r for f in frames if f.layer3 for r in f.layer3]
+        assert routed[0].name == "DNwrkBroadcast"

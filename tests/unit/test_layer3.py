@@ -390,3 +390,36 @@ class TestGroupIdentity:
         p.set_groups([mm.GroupIdentity(gssi=7777, lifetime=1)])
         q = mm.parse_mm(p.build())
         assert q.groups[0].gssi == 7777 and q.groups[0].attach
+
+
+class TestMleProtocol:
+    def test_nwrk_broadcast_round_trip(self):
+        p = mle.DNwrkBroadcast(
+            cell_reselect_parameters=0xABCD, cell_load_ca=2,
+            tetra_network_time=0x123456789ABC & ((1 << 48) - 1),
+            neighbours=[
+                mle.NeighbourCell(cell_identifier=3, main_carrier=3610,
+                                  la_flag=1, location_area=77),
+                mle.NeighbourCell(cell_identifier=4, main_carrier=3620,
+                                  extended_flag=1, frequency_band=4)])
+        q = mle.parse_mle_pdu(p.build())
+        assert isinstance(q, mle.DNwrkBroadcast)
+        assert q.cell_reselect_parameters == 0xABCD
+        assert [n.main_carrier for n in q.neighbours] == [3610, 3620]
+        assert q.neighbours[0].location_area == 77
+        assert q.neighbours[1].frequency_band == 4
+
+    def test_routed_and_confident(self):
+        p = mle.DNwrkBroadcast(neighbours=[
+            mle.NeighbourCell(main_carrier=3700)])
+        tm = mle.wrap_mle(mle.PD.MLE, p.build())
+        r = mac.MacResource(address=1, tm_sdu=tm)
+        res = layer3.decode_mac_block(r.build(SCHF_BITS))
+        assert res[0].confident
+        assert "3700" in layer3.describe_pdu(res[0])
+
+    def test_unknown_mle_type_opaque(self):
+        bits = np.concatenate([np.asarray([0, 0, 0], np.uint8),
+                               np.ones(20, np.uint8)])
+        q = mle.parse_mle_pdu(bits)
+        assert isinstance(q, mle.MlePdu)

@@ -388,6 +388,7 @@ class DownlinkReceiver:
         self._defrag: Dict[int, layer3.Defragmenter] = {}
         self.call_tracker = CallTracker()
         self.group_attachments: Dict[int, dict] = {}
+        self.network_info: Optional[mle.DNwrkBroadcast] = None
 
     # --- bit-level entry (unit tests / hard-decision paths) ---
     def receive_bits(self, bits: np.ndarray) -> List[DownlinkFrame]:
@@ -719,6 +720,8 @@ class DownlinkReceiver:
                     "class_of_usage": g.class_of_usage if g.attach else
                     None, "detach_reason": None if g.attach else
                     g.detach_reason}
+        if isinstance(res.pdu, mle.DNwrkBroadcast):
+            self.network_info = res.pdu
 
     def _candidate_keys(self):
         """(algorithm, key, label) candidates in the reference decrypt
@@ -894,6 +897,7 @@ class CellReport:
     main_carrier: Optional[int]
     slots_decoded: int
     crc_rate: float
+    neighbours: List[int] = None    # carriers from D-NWRK-BROADCAST
 
 
 def survey_cells(iq, num_carriers: int = 16,
@@ -916,6 +920,7 @@ def survey_cells(iq, num_carriers: int = 16,
         sysinfos = [f.sysinfo for f in frames if f.sysinfo is not None]
         crc_rate = (sum(f.crc_ok for f in frames) / len(frames)
                     if frames else 0.0)
+        net = rx._cells[c].network_info
         reports.append(CellReport(
             carrier_index=c,
             offset_hz=float(rx.offsets[c]),
@@ -923,5 +928,7 @@ def survey_cells(iq, num_carriers: int = 16,
             colour_code=sb.sync_pdu.colour_code,
             location_area=(sysinfos[0].location_area if sysinfos else None),
             main_carrier=(sysinfos[0].main_carrier if sysinfos else None),
-            slots_decoded=len(frames), crc_rate=crc_rate))
+            slots_decoded=len(frames), crc_rate=crc_rate,
+            neighbours=([n.main_carrier for n in net.neighbours]
+                        if net is not None else None)))
     return reports

@@ -43,6 +43,8 @@ class Layer3Result:
         over the ref-compat heuristics."""
         if self.fragment:
             return True
+        if self.pd == mle.PD.MLE:
+            return isinstance(self.pdu, mle.DNwrkBroadcast)
         return (self.pd in (mle.PD.MM, mle.PD.CMCE)
                 and self.pdu is not None
                 and not isinstance(self.pdu, (cmce.GenericCmce,
@@ -69,6 +71,8 @@ def decode_tm_sdu(tm_sdu, uplink: bool = False) -> Layer3Result:
                 res.sds = None
     elif pd == mle.PD.MM:
         res.pdu = mm.parse_mm(body)
+    elif pd == mle.PD.MLE:
+        res.pdu = mle.parse_mle_pdu(body)
     else:
         res.pdu = mle.MlePdu(pd, body)
     return res
@@ -174,4 +178,7 @@ def describe_pdu(result: Layer3Result) -> str:
     if getattr(pdu, "precoded_status", None) is not None and \
             "Status" in name:
         bits.append(f"status 0x{pdu.precoded_status:04X}")
+    if isinstance(pdu, mle.DNwrkBroadcast) and pdu.neighbours:
+        bits.append("neighbours " + ",".join(
+            str(n.main_carrier) for n in pdu.neighbours))
     return name + (": " + ", ".join(bits) if bits else "")

@@ -348,10 +348,12 @@ def cmd_downlink(args) -> int:
         cells = survey_cells(iq, num_carriers=args.survey)
         dt = time.time() - t0
         for r in cells:
+            nb = (f" neighbours={','.join(map(str, r.neighbours))}"
+                  if r.neighbours else "")
             print(f"carrier {r.carrier_index:3d} ({r.offset_hz/1e3:+7.1f} "
                   f"kHz): MCC={r.mcc} MNC={r.mnc} CC={r.colour_code} "
                   f"LA={r.location_area} slots={r.slots_decoded} "
-                  f"crc={100*r.crc_rate:.0f}%")
+                  f"crc={100*r.crc_rate:.0f}%{nb}")
         print(f"[DONE] {len(cells)} cells found across {args.survey} "
               f"carriers  [{len(iq)/max(dt,1e-9)/1e6:.2f} MS/s]")
         return 0
