@@ -134,6 +134,39 @@ class TestFragmentation:
             chunks.append(res[0].tm_sdu)
         assert np.array_equal(np.concatenate(chunks), sdu)
 
+    def test_length_sweep_round_trip(self):
+        """Every TM-SDU length must build without tripping the block
+        assertion and reassemble bit-exact — pins the borderline zone
+        where header+sdu fits the block but the whole-octet LI rounding
+        does not (e.g. totals 265-268 on SCH/F), which used to crash."""
+        rng = np.random.default_rng(7)
+        for n in range(0, 620):
+            sdu = rng.integers(0, 2, n).astype(np.uint8)
+            parts = mac.fragment_tm_sdu(sdu, SCHF_BITS,
+                                        mac.MacResource(address=5))
+            chunks = []
+            for _, block in parts:
+                assert block.size == SCHF_BITS
+                res = mac.parse_mac_block(block)
+                assert len(res) == 1
+                chunks.append(res[0].tm_sdu)
+            got = (np.concatenate(chunks) if chunks
+                   else np.zeros(0, np.uint8))
+            assert np.array_equal(got, sdu), f"length {n} corrupted"
+
+    def test_mac_access_build_parse_inverse(self):
+        """MacAccess build/parse are field-for-field inverses for both
+        length_flag forms (the no-LI form used to be unproducible)."""
+        from tetraear_tpu.protocol.bits import BitCursor
+        sdu = np.asarray([1, 0, 1, 1, 0, 1], np.uint8)
+        for lf in (0, 1):
+            a = mac.MacAccess(address=0x1234, length_flag=lf, tm_sdu=sdu)
+            blk = a.build(92)
+            got = mac.MacAccess.parse(BitCursor(blk))
+            assert got.length_flag == lf
+            assert got.address == 0x1234
+            assert np.array_equal(got.tm_sdu, sdu)
+
     def test_defragmenter_end_to_end(self):
         text = "A long SDS message that cannot fit into one SCH/F slot " \
                "and therefore rides MAC-RESOURCE + FRAG + END across the " \

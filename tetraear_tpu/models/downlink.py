@@ -101,7 +101,8 @@ class DownlinkFrame:
     mn: int
     burst_kind: str               # "SB" | "NDB"
     channel: str                  # "BSCH+SCH/HD" | "SCH/F" | "TCH/..."
-    crc_ok: bool
+    crc_ok: Optional[bool]        # None on pure-traffic slots (TCH carries
+                                  # no block CRC — nothing was checked)
     aach: Optional[AccessAssignPDU]
     aach_margin: float
     sync_pdu: Optional[SyncPDU] = None
@@ -138,7 +139,10 @@ class DownlinkFrame:
             "number": self.slot_index,
             "timeslot": self.tn - 1,
             "type_name": type_name or self.channel,
-            "burst_crc": bool(self.crc_ok),
+            # None (not False) on TCH slots: traffic channels carry no
+            # block CRC, so consumers must not read a claimed pass/fail
+            "burst_crc": (None if self.crc_ok is None
+                          else bool(self.crc_ok)),
             "encrypted": self.encrypted and not self.decrypted,
             "decrypted": self.decrypted,
             "sds_message": self.sds_message,
@@ -583,7 +587,7 @@ class DownlinkReceiver:
                     margin, sync_pdu=sync_pdu, sysinfo=sysinfo))
             elif i in tch_pos:
                 frame = DownlinkFrame(
-                    i, tn, fn, mn, "NDB", self.traffic_channel, True, aach,
+                    i, tn, fn, mn, "NDB", self.traffic_channel, None, aach,
                     margin, tch_llrs=ndb_coded[i])
                 if tch_out is not None:
                     arr = tch_out[tch_pos[i]]
@@ -918,8 +922,9 @@ def survey_cells(iq, num_carriers: int = 16,
             continue
         sb = sbs[0]
         sysinfos = [f.sysinfo for f in frames if f.sysinfo is not None]
-        crc_rate = (sum(f.crc_ok for f in frames) / len(frames)
-                    if frames else 0.0)
+        checked = [f for f in frames if f.crc_ok is not None]
+        crc_rate = (sum(f.crc_ok for f in checked) / len(checked)
+                    if checked else 0.0)
         net = rx._cells[c].network_info
         reports.append(CellReport(
             carrier_index=c,

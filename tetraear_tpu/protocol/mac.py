@@ -178,7 +178,13 @@ class MacResource:
         else:
             li = (total + 7) // 8
             assert li < LI_FRAG_START, "TM-SDU too long for one MAC PDU"
-        pdu_bits = total if self.fragmented else li * 8
+        if self.fragmented:
+            # a frag-start RESOURCE extends to the block end; when the
+            # SDU head doesn't reach it exactly (borderline lengths that
+            # fail the whole-octet LI rounding), fill bits cover the gap
+            pdu_bits = block_bits if block_bits is not None else total
+        else:
+            pdu_bits = li * 8
         fill_ind = 1 if pdu_bits > total else 0
 
         pairs = [(self.PDU_TYPE, 2), (fill_ind, 1),
@@ -410,7 +416,7 @@ class MacAccess:
     encryption_mode: int = 0      # 2
     address_type: int = 0         # 2 (0=SSI, 1=event label, 2=USSI, 3=SMI)
     address: int = 0
-    length_flag: int = 0          # 1 (-> 5-bit length indication present)
+    length_flag: int = 1          # 1 (-> 5-bit length indication present)
     length_indication: int = 0    # octets incl. header (as downlink)
     tm_sdu: np.ndarray = field(default_factory=lambda: np.zeros(0, np.uint8))
 
@@ -419,16 +425,29 @@ class MacAccess:
             (5 if self.length_flag else 0)
 
     def build(self, block_bits: Optional[int] = None) -> np.ndarray:
+        """Emit the PDU, honoring ``length_flag``: the bounded form with a
+        5-bit whole-octet LI (flag 1, the default), or the unbounded form
+        (flag 0) whose TM-SDU extends to the block end — build and parse
+        are field-for-field inverses for both."""
         sdu = as_bit_array(self.tm_sdu)
-        hdr = 1 + 1 + 2 + 2 + _UL_ADDR_WIDTHS[self.address_type] + 1 + 5
-        total = hdr + sdu.size
-        li = (total + 7) // 8
-        pdu_bits = li * 8
+        base = 1 + 1 + 2 + 2 + _UL_ADDR_WIDTHS[self.address_type] + 1
+        if self.length_flag:
+            total = base + 5 + sdu.size
+            li = (total + 7) // 8
+            pdu_bits = li * 8
+            self.length_indication = li
+        else:
+            total = base + sdu.size
+            pdu_bits = block_bits if block_bits is not None else total
+            assert pdu_bits >= total, "MAC-ACCESS exceeds the block"
         fill_ind = 1 if pdu_bits > total else 0
+        self.fill_ind = fill_ind
         pairs = [(0, 1), (fill_ind, 1), (self.encryption_mode, 2),
                  (self.address_type, 2),
                  (self.address, _UL_ADDR_WIDTHS[self.address_type]),
-                 (1, 1), (li, 5)]
+                 (self.length_flag, 1)]
+        if self.length_flag:
+            pairs.append((self.length_indication, 5))
         out = np.concatenate([pack_fields(pairs), sdu])
         if fill_ind:
             out = _add_fill(out, pdu_bits)
@@ -541,8 +560,11 @@ def fragment_tm_sdu(tm_sdu, block_bits: int, first: MacResource
     """
     sdu = as_bit_array(tm_sdu)
     first_cap = block_bits - first.header_bits()
-    if first.header_bits() + sdu.size <= block_bits and \
-            (first.header_bits() + sdu.size + 7) // 8 < LI_FRAG_START:
+    # single-block fit must survive the whole-octet LI rounding in
+    # MacResource.build (li*8 <= block_bits, not just hdr+sdu):
+    # borderline totals (e.g. 265-268 bits on SCH/F) must fragment
+    li_single = (first.header_bits() + sdu.size + 7) // 8
+    if li_single * 8 <= block_bits and li_single < LI_FRAG_START:
         first.tm_sdu = sdu
         first.fragmented = False
         return [(first, first.build(block_bits))]
@@ -553,7 +575,10 @@ def fragment_tm_sdu(tm_sdu, block_bits: int, first: MacResource
                                              first.build(block_bits))]
     rest = sdu[first_cap:]
     frag_cap = block_bits - 4          # 2 type + 1 subtype + 1 fill
-    end_cap = block_bits - MacEnd().header_bits()
+    # MAC-END also rounds its LI up to whole octets; cap its tail at the
+    # whole-octet boundary so borderline tails fragment instead of
+    # tripping build's block assertion
+    end_cap = (block_bits // 8) * 8 - MacEnd().header_bits()
     while rest.size > end_cap:
         frag = MacFrag(tm_sdu=rest[:frag_cap])
         out.append((frag, frag.build(block_bits)))

@@ -256,11 +256,11 @@ def cmd_uplink(args) -> int:
         if f.sds_message and f.sds_message not in desc:
             desc += f" {f.sds_message}"
         print(f"bit {f.start_bit:7d} {f.kind:3s} {f.channel:7s} "
-              f"crc={'Y' if f.crc_ok else 'n'} {desc}")
+              f"crc={'-' if f.crc_ok is None else 'Y' if f.crc_ok else 'n'} {desc}")
         if out:
             out.write(json.dumps({
                 "start_bit": f.start_bit, "kind": f.kind,
-                "channel": f.channel, "crc_ok": bool(f.crc_ok),
+                "channel": f.channel, "crc_ok": None if f.crc_ok is None else bool(f.crc_ok),
                 "sds": f.sds_message,
                 "layer3": ([describe_pdu(r) for r in f.layer3]
                            if f.layer3 else None),
@@ -396,13 +396,13 @@ def cmd_downlink(args) -> int:
                 desc += (f" [call {f.call_metadata.call_identifier} "
                          f"tg {f.call_metadata.talkgroup_id}]")
         print(f"TN{f.tn} FN{f.fn:2d} MN{f.mn:2d} {f.burst_kind:3s} "
-              f"{f.channel:11s} crc={'Y' if f.crc_ok else 'n'} "
+              f"{f.channel:11s} crc={'-' if f.crc_ok is None else 'Y' if f.crc_ok else 'n'} "
               f"aach={f.aach.downlink_usage:14s} {desc}")
         if out:
             out.write(json.dumps({
                 "slot": f.slot_index, "tn": f.tn, "fn": f.fn, "mn": f.mn,
                 "burst": f.burst_kind, "channel": f.channel,
-                "crc_ok": bool(f.crc_ok),
+                "crc_ok": None if f.crc_ok is None else bool(f.crc_ok),
                 "aach_usage": f.aach.downlink_usage,
                 "mcc": f.sync_pdu.mcc if f.sync_pdu else None,
                 "mnc": f.sync_pdu.mnc if f.sync_pdu else None,

@@ -1,0 +1,41 @@
+#!/usr/bin/env bash
+# Background TPU-window watcher: probe the remote backend every cycle;
+# in any window where the trivial f32 probe executes (sync-verified),
+# immediately run bench.py and archive the result.  The tunnel's
+# degradation is intermittent (CLAUDE.md) — this catches healthy windows
+# a human-paced session would miss.
+#
+# Usage: bash tools/bench_watch.sh   (run inside tmux; writes logs/bench_watch/)
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p logs/bench_watch
+while true; do
+  ts=$(date +%Y%m%d_%H%M%S)
+  if timeout 90 python - >"logs/bench_watch/probe_$ts.txt" 2>&1 <<'EOF'
+import numpy as np, jax, jax.numpy as jnp
+x = jnp.asarray(np.arange(260_000, dtype=np.float32))
+print("DIGEST", float(np.asarray(jnp.sum(x + 1.0).astype(jnp.float32))))
+EOF
+  then
+    if grep -q DIGEST "logs/bench_watch/probe_$ts.txt"; then
+      echo "[watch] $ts healthy window — running bench" \
+        >> logs/bench_watch/watch.log
+      timeout 1200 python bench.py > "logs/bench_watch/bench_$ts.json" 2> \
+        "logs/bench_watch/bench_$ts.err"
+      echo "[watch] $ts bench rc=$? $(tail -c 300 logs/bench_watch/bench_$ts.json)" \
+        >> logs/bench_watch/watch.log
+      # a verified accelerator number ends the hunt; keep watching anyway
+      # (later windows may be faster) but back off harder
+      if grep -q '"metric"' "logs/bench_watch/bench_$ts.json" && \
+         ! grep -q cpu_fallback "logs/bench_watch/bench_$ts.json"; then
+        echo "[watch] $ts VERIFIED ACCELERATOR NUMBER" >> logs/bench_watch/watch.log
+        cp "logs/bench_watch/bench_$ts.json" logs/bench_watch/BEST.json
+        sleep 1800
+        continue
+      fi
+    fi
+  else
+    echo "[watch] $ts wedged (probe hang/fail)" >> logs/bench_watch/watch.log
+  fi
+  sleep 600
+done

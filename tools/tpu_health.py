@@ -51,7 +51,7 @@ def main() -> int:
     args = ap.parse_args()
 
     healthy = True
-    for name, expr in PROBES:
+    for i, (name, expr) in enumerate(PROBES):
         code = CHILD.replace("{expr}", expr)
         try:
             proc = subprocess.run([sys.executable, "-c", code],
@@ -59,12 +59,19 @@ def main() -> int:
                                   timeout=args.budget)
             if proc.returncode == 0 and "DIGEST" in proc.stdout:
                 v = proc.stdout.strip().split()[-1]
-                print(f"OK    {name:12s} digest={v}")
+                print(f"OK    {name:12s} digest={v}", flush=True)
                 continue
             err = (proc.stderr.strip().splitlines() or ["?"])[-1]
-            print(f"FAIL  {name:12s} {err[:90]}")
+            print(f"FAIL  {name:12s} {err[:90]}", flush=True)
         except subprocess.TimeoutExpired:
-            print(f"HANG  {name:12s} (> {args.budget:.0f}s)")
+            print(f"HANG  {name:12s} (> {args.budget:.0f}s)", flush=True)
+            if i == 0:
+                # the trivial probe hung: the tunnel is wedged, every
+                # other probe would also burn a full budget — stop here
+                # so a wedged backend costs one budget, not eight
+                print("verdict: wedged — f32_add hang; skipping remaining "
+                      "probes (bench.py will fall back to CPU)")
+                return 2
         healthy = False
 
     print("verdict:", "healthy — run bench.py" if healthy
