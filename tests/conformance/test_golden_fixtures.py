@@ -1,0 +1,87 @@
+"""Recorded-IQ golden regression (reference-free).
+
+The fixtures under tests/conformance/fixtures/ are checked-in captures
+plus golden frame JSONL produced by the ACTUAL reference chain
+(tools/make_golden.py drives /root/reference's SignalProcessor.process +
+TetraDecoder.decode).  This test replays the captures through this
+repo's ref-exact chain and demands bit-exact frame dicts — WITHOUT
+importing the reference, so conformance is pinned even when
+/root/reference is unmounted (SURVEY §4: "the new build must create
+them"; reference chain: /root/reference/tetraear/core/decoder.py:835).
+"""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from tetraear_tpu.config import ReceiverConfig
+from tetraear_tpu.core.decoder import TetraDecoder
+from tetraear_tpu.io.replay import load_iq
+from tetraear_tpu.models.receiver import SignalProcessor
+
+FIXTURES = Path(__file__).parent / "fixtures"
+CASES = ["clean", "noisy_offset", "encrypted"]
+
+
+def _sanitize(obj):
+    """Mirror tools/make_golden.py's JSON normalization."""
+    if isinstance(obj, dict):
+        return {k: _sanitize(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_sanitize(v) for v in obj]
+    if isinstance(obj, np.ndarray):
+        return obj.tolist()
+    if isinstance(obj, np.integer):
+        return int(obj)
+    if isinstance(obj, np.floating):
+        return float(obj)
+    if isinstance(obj, np.bool_):
+        return bool(obj)
+    if isinstance(obj, (bytes, bytearray)):
+        return obj.hex()
+    if hasattr(obj, "__dataclass_fields__"):
+        import dataclasses
+        return _sanitize(dataclasses.asdict(obj))
+    return obj
+
+
+def _load_golden(name):
+    lines = (FIXTURES / f"{name}.golden.jsonl").read_text().splitlines()
+    meta = json.loads(lines[0])["__meta__"]
+    frames = [json.loads(ln) for ln in lines[1:]]
+    return meta, frames
+
+
+@pytest.mark.parametrize("name", CASES)
+def test_golden_fixture_bit_exact(name):
+    meta, golden = _load_golden(name)
+    iq = np.asarray(load_iq(FIXTURES / f"{name}.cf32"))
+    assert len(iq) == meta["samples"]
+
+    sp = SignalProcessor(config=ReceiverConfig(profile="ref-exact"))
+    symbols = sp.process(iq, freq_offset=meta["freq_offset_hz"])
+    frames = TetraDecoder(auto_decrypt=meta["auto_decrypt"]).decode(symbols)
+
+    assert len(frames) == len(golden), \
+        f"{name}: {len(frames)} frames vs {len(golden)} golden"
+    for i, (mine, gold) in enumerate(zip(frames, golden)):
+        mine = _sanitize(mine)
+        # keys this repo adds beyond the reference schema are allowed;
+        # every golden key must match exactly (round-trip through JSON
+        # to normalize tuples/lists and int/float unification)
+        mine = json.loads(json.dumps(mine, sort_keys=True))
+        for k, v in gold.items():
+            assert k in mine, f"{name}[{i}]: missing key {k}"
+            assert mine[k] == v, \
+                f"{name}[{i}].{k}: {mine[k]!r} != golden {v!r}"
+
+
+def test_encrypted_fixture_decrypts_with_common_key():
+    """The encrypted capture's payload was TEA1-encrypted with the first
+    built-in common key; the golden pins the brute-force outcome."""
+    _, golden = _load_golden("encrypted")
+    decrypted = [f for f in golden if f.get("decrypted")]
+    assert decrypted, "golden lost its decrypt outcome — regenerate"
+    assert any(f.get("key_used") == "TEA1 common_key_0" for f in decrypted)

@@ -24,7 +24,6 @@ from tetraear_tpu.crypto.keys import COMMON_KEYS, TetraKeyManager, parse_user_ke
 from tetraear_tpu.crypto.tea import TEADecryptor
 from tetraear_tpu.protocol.bits import bits_to_binstr, bits_to_bytes
 from tetraear_tpu.protocol.parser import TetraProtocolParser
-from tetraear_tpu.protocol.types import PDUType
 
 logger = logging.getLogger(__name__)
 
@@ -610,9 +609,16 @@ class TetraDecoder:
                 np.frombuffer(decrypted_payload, dtype=np.uint8))
             if self.protocol_parser._check_crc(decrypted_bits):
                 score += 100
-            pdu = self.protocol_parser.parse_mac_pdu(decrypted_bits)
-            if pdu and pdu.pdu_type != PDUType.MAC_DATA:
-                score += 50
+            # Reference quirk (decoder.py:763-766, pinned by the encrypted
+            # golden fixture): the reference's "+50 if it parses as a
+            # non-MAC-DATA PDU" bonus NEVER fires — it spells the enum as
+            # `self.protocol_parser.PDUType`, which doesn't exist (PDUType
+            # is module-level in protocol.py:54), so when the PDU parses
+            # the comparison raises AttributeError into the bare `except`.
+            # When the PDU is None the short-circuit skips the bonus too.
+            # The parse call itself must stay: it mutates the shared
+            # parser's fragment-reassembly state, which later frames see.
+            self.protocol_parser.parse_mac_pdu(decrypted_bits)
         except Exception:
             pass
         return score
