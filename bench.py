@@ -13,8 +13,15 @@ Measurement integrity: on this container's remote-TPU backend,
 (dispatch-only timing can overstate throughput by orders of magnitude) and
 device-to-host reads can hang when the tunnel is degraded.  Every timed run
 here is therefore **sync-verified**: the loop ends by pulling a scalar
-digest of the final output, forcing real execution, under a watchdog.  If
-the accelerator cannot complete a verified run, the benchmark re-executes
+digest of the final output, forcing real execution, under a watchdog.
+
+Backend quirks this bench is built around (bisected in round 2, see
+tools/tpu_bisect.py):
+  * complex64 device_put raises UNIMPLEMENTED — all complex inputs are
+    shipped as stacked f32 and rebuilt on device (utils/backend.put_complex)
+  * ONE failed op poisons every subsequent op in the process — each
+    accelerator tier therefore runs in a fresh child process
+If no accelerator tier completes a verified run, the benchmark re-executes
 itself on the CPU backend and reports that (honest, smaller) number.
 """
 
@@ -31,6 +38,10 @@ import numpy as np
 
 BASELINE_SPS = 2.4e6
 WATCHDOG_S = 240.0
+TIER_TIMEOUT_S = 1500.0          # child budget incl. remote compile (~3 min)
+
+# accelerator tiers, best first; each runs in its own process
+TIERS = ("complex", "pfb", "realpair64", "realpair0", "single")
 
 
 def _verified_rate(step_fn, digest_fn, inputs, n: int, iters: int) -> float:
@@ -68,17 +79,8 @@ def _verified_rate(step_fn, digest_fn, inputs, n: int, iters: int) -> float:
     return n * iters / max(t_full - t_base, 1e-9)
 
 
-def _measure(num_carriers: int = 16, scale: int = 2, iters: int = 8):
-    """Returns (samples_per_sec, backend, variant, carriers) or raises.
-
-    Tries the full complex pipeline (demod+sync+candidates+CRC) first; on
-    accelerators whose runtime cannot execute complex arithmetic (see
-    CLAUDE.md), falls back to the bit-identical transcendental-free
-    real-pair pipeline (demod+sync; models/realpair.py) before giving up.
-    On healthy backends the 96-channel polyphase-filterbank pipeline is
-    also measured (same wideband samples, 6x the channel coverage, one
-    shared FIR + DFT matmul) and the faster verified number wins.
-    """
+def _run_tier(tier: str, num_carriers: int, scale: int, iters: int):
+    """Execute one tier in this process; returns (sps, variant, carriers)."""
     import jax
     import jax.numpy as jnp
 
@@ -86,8 +88,8 @@ def _measure(num_carriers: int = 16, scale: int = 2, iters: int = 8):
     from tetraear_tpu.models.multicarrier import (MulticarrierFrontend,
                                                   PfbMulticarrierFrontend)
     from tetraear_tpu.models.realpair import RealPairFrontend, mixer_table
+    from tetraear_tpu.utils.backend import put_complex
 
-    backend = jax.default_backend()
     cfg = ReceiverConfig()
     step = cfg.decimation_factor * cfg.ref_samples_per_symbol
     n = 8000 * step * scale
@@ -104,17 +106,26 @@ def _measure(num_carriers: int = 16, scale: int = 2, iters: int = 8):
     digest = jax.jit(lambda out: (out.sync_corr.sum()
                                   + out.count.sum().astype(jnp.float32)))
 
-    def run_complex():
+    if tier == "complex":
         mc = MulticarrierFrontend(cfg, num_candidates=64, threshold=0.80)
-        xs = [jax.device_put(jnp.asarray(x)) for x in xs_np]
+        xs = [put_complex(x) for x in xs_np]
         od = jax.device_put(jnp.asarray(offsets))
-        return _verified_rate(lambda x: mc(x, od, start_index=0), digest,
+        rate = _verified_rate(lambda x: mc(x, od, start_index=0), digest,
                               xs, n, iters)
-
-    def run_realpair(k: int = 0):
-        # k>0 appends the on-device candidates+CRC stage: the FULL decode
-        # compute (same as run_complex) in the complex/transcendental-free
-        # op vocabulary.  k=0 is the demod+sync-only reduced program.
+        return rate, "demod_decode", num_carriers
+    if tier == "pfb":
+        # 96-channel critically-stacked polyphase filterbank: every 25 kHz
+        # channel in the 2.4 MHz capture decoded at once; one shared
+        # polyphase FIR plus a DFT matmul — the MXU-shaped formulation.
+        pfb = PfbMulticarrierFrontend(cfg, num_candidates=64, threshold=0.80)
+        xs = [put_complex(x) for x in xs_np]
+        return _verified_rate(pfb, digest, xs, n, iters), \
+            "pfb_demod_decode", 96
+    if tier in ("realpair64", "realpair0"):
+        # transcendental/complex-free formulation (models/realpair.py);
+        # k=64 appends the on-device candidates+CRC stage (full decode),
+        # k=0 is demod+sync only
+        k = 64 if tier == "realpair64" else 0
         rp = RealPairFrontend(cfg, num_candidates=k, threshold=0.80)
         table = jax.device_put(jnp.asarray(
             mixer_table(offsets, cfg.sample_rate_hz)))
@@ -122,92 +133,45 @@ def _measure(num_carriers: int = 16, scale: int = 2, iters: int = 8):
         xs_ri = [jax.device_put(jnp.asarray(
             np.stack([x.real, x.imag]).astype(np.float32)))
             for x in xs_np]
-        return _verified_rate(lambda x: fn(x, table), digest, xs_ri, n,
+        rate = _verified_rate(lambda x: fn(x, table), digest, xs_ri, n,
                               iters)
-
-    def run_pfb(k: int = 64):
-        # 96-channel critically-stacked polyphase filterbank: every 25 kHz
-        # channel in the 2.4 MHz capture decoded at once.  Counts the same
-        # wideband samples/s as the DDC tiers while covering 6x the
-        # carriers — and its compute is one shared polyphase FIR plus a
-        # DFT matmul, the MXU-shaped formulation.
-        pfb = PfbMulticarrierFrontend(cfg, num_candidates=k, threshold=0.80)
-        xs = [jax.device_put(jnp.asarray(x)) for x in xs_np]
-        return _verified_rate(pfb, digest, xs, n, iters)
-
-    def run_single():
-        # Single-carrier Frontend on CLI-sized blocks: the same program
-        # class as the offline decode path, which has been observed to
-        # execute on this backend in windows where the larger 16-carrier
-        # programs fail.  Directly comparable to the baseline (the
-        # reference is also single-channel at 2.4 MS/s).
+        return rate, ("demod_decode_realpair" if k else
+                      "demod_sync_realpair"), num_carriers
+    if tier == "single":
+        # single-carrier Frontend on CLI-sized blocks — directly comparable
+        # to the baseline (the reference is single-channel at 2.4 MS/s)
         from tetraear_tpu.models.receiver import Frontend
         fe = Frontend(cfg)
-        n_s = 2048 * step              # ~266k samples, CLI chunk scale
+        n_s = 2048 * step
         fn = fe._compiled(n_s, False)
-        xs_s = [jax.device_put(jnp.asarray(x[:n_s])) for x in xs_np]
+        xs_s = [put_complex(x[:n_s]) for x in xs_np]
         zero = jnp.float32(0.0)
-        return _verified_rate(lambda x: fn(x, zero), digest, xs_s, n_s,
+        rate = _verified_rate(lambda x: fn(x, zero), digest, xs_s, n_s,
                               iters * 4)
+        return rate, "singlecarrier_demod_sync", 1
+    raise ValueError(f"unknown tier {tier}")
 
-    if backend == "cpu":
-        # all full-decode variants, report the fastest that works (one
-        # variant's regression must not zero out the whole fallback bench)
-        results = []
-        for fn, variant, carriers in (
-                (run_complex, "demod_decode", num_carriers),
-                (lambda: run_realpair(k=64), "demod_decode_realpair",
-                 num_carriers),
-                (lambda: run_pfb(k=64), "pfb_demod_decode", 96)):
-            try:
-                results.append((fn(), variant, carriers))
-            except Exception as e:
-                print(f"[bench] cpu variant {variant} failed: "
-                      f"{str(e)[:80]}", file=sys.stderr)
-        if not results:
-            raise RuntimeError("no CPU variant completed")
-        rate, variant, carriers = max(results)
-        return rate, backend, variant, carriers
 
-    # A TimeoutError means the tunnel is hanging (not an op gap): later
-    # tiers would hang too, so propagate straight to the CPU fallback.
-    try:
-        r_ddc = run_complex()
+def _measure_cpu(num_carriers: int, scale: int, iters: int):
+    """CPU fallback: all full-decode variants, report the fastest (one
+    variant's regression must not zero out the whole fallback bench)."""
+    results = []
+    for tier in ("complex", "realpair64", "pfb"):
         try:
-            r_pfb = run_pfb(k=64)
-        except Exception:
-            r_pfb = 0.0          # ddc already proved the backend works
-        if r_pfb > r_ddc:
-            return r_pfb, backend, "pfb_demod_decode", 96
-        return r_ddc, backend, "demod_decode", num_carriers
-    except TimeoutError:
-        raise
-    except Exception as e:
-        print(f"[bench] complex pipeline failed on {backend} "
-              f"({str(e)[:80]}); trying real-pair variant", file=sys.stderr)
-    try:
-        return (run_realpair(k=64), backend, "demod_decode_realpair",
-                num_carriers)
-    except TimeoutError:
-        raise
-    except Exception as e:
-        print(f"[bench] real-pair decode pipeline failed on {backend} "
-              f"({str(e)[:80]}); trying demod+sync-only variant",
-              file=sys.stderr)
-    try:
-        return (run_realpair(k=0), backend, "demod_sync_realpair",
-                num_carriers)
-    except TimeoutError:
-        raise
-    except Exception as e:
-        print(f"[bench] real-pair pipeline failed on {backend} "
-              f"({str(e)[:80]}); trying single-carrier frontend",
-              file=sys.stderr)
-    return run_single(), backend, "singlecarrier_demod_sync", 1
+            results.append(_run_tier(tier, num_carriers, scale, iters))
+        except Exception as e:
+            print(f"[bench] cpu variant {tier} failed: {str(e)[:80]}",
+                  file=sys.stderr)
+    if not results:
+        raise RuntimeError("no CPU variant completed")
+    return max(results)
 
 
 def main() -> int:
     force_cpu = "--cpu" in sys.argv
+    tier = None
+    if "--tier" in sys.argv:
+        tier = sys.argv[sys.argv.index("--tier") + 1]
     if force_cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
@@ -219,40 +183,89 @@ def main() -> int:
         scale=int(os.environ.get("BENCH_SCALE", 2)),
         iters=int(os.environ.get("BENCH_ITERS", 8)),
     )
-    try:
-        sps, backend, variant, carriers = _measure(**kw)
-    except Exception as e:
-        if force_cpu:
+
+    if tier is not None:
+        # child mode: one tier, one process (failures cannot poison the
+        # other tiers), one JSON line up to the parent
+        import jax
+        try:
+            sps, variant, carriers = _run_tier(tier, **kw)
+            print(json.dumps({"ok": True, "sps": sps, "variant": variant,
+                              "carriers": carriers,
+                              "backend": jax.default_backend()}))
+            sys.stdout.flush()
+            os._exit(0)
+        except Exception as e:
+            print(json.dumps({"ok": False,
+                              "err": f"{type(e).__name__}: {str(e)[:160]}"}))
+            sys.stdout.flush()
+            os._exit(1)
+
+    if force_cpu:
+        try:
+            sps, variant, carriers = _measure_cpu(**kw)
+        except Exception:
             print(json.dumps({"metric": "bench_failed", "value": 0,
                               "unit": "samples/s", "vs_baseline": 0}))
             return 1
-        # accelerator unusable -> honest CPU fallback in a fresh process
-        print(f"[bench] accelerator run failed ({type(e).__name__}: "
-              f"{str(e)[:120]}); falling back to CPU backend",
-              file=sys.stderr)
-        proc = subprocess.run([sys.executable, os.path.abspath(__file__),
-                               "--cpu"], capture_output=True, text=True,
-                              timeout=1800)
-        sys.stdout.write(proc.stdout.splitlines()[-1] + "\n"
-                         if proc.stdout.strip() else "{}\n")
-        # ensure no wedged device threads keep us alive
+        print(json.dumps({
+            "metric": f"iq_samples_per_sec_{carriers}carrier_{variant}"
+                      "_cpu_fallback",
+            "value": round(sps, 1), "unit": "samples/s",
+            "vs_baseline": round(sps / BASELINE_SPS, 2)}))
         sys.stdout.flush()
-        os._exit(proc.returncode)
+        os._exit(0)
 
-    scope = ("" if variant.startswith("singlecarrier")
-             else f"{carriers}carrier_")
-    if backend != "cpu":
-        metric = f"iq_samples_per_sec_per_chip_{scope}{variant}"
-    else:
-        metric = f"iq_samples_per_sec_{scope}{variant}_cpu_fallback"
-    print(json.dumps({
-        "metric": metric,
-        "value": round(sps, 1),
-        "unit": "samples/s",
-        "vs_baseline": round(sps / BASELINE_SPS, 2),
-    }))
+    # parent: probe accelerator tiers in isolated children, best tier wins;
+    # once a full-decode tier verifies, also try the PFB for the higher
+    # channel count, then stop (don't burn time on lower tiers)
+    results = []
+    for t in TIERS:
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--tier", t],
+                capture_output=True, text=True, timeout=TIER_TIMEOUT_S)
+            line = (proc.stdout.strip().splitlines() or ["{}"])[-1]
+            res = json.loads(line)
+        except subprocess.TimeoutExpired:
+            print(f"[bench] tier {t} timed out (> {TIER_TIMEOUT_S:.0f}s)",
+                  file=sys.stderr)
+            continue
+        except (ValueError, json.JSONDecodeError):
+            print(f"[bench] tier {t} produced no result", file=sys.stderr)
+            continue
+        if res.get("ok") and res.get("backend") != "cpu":
+            results.append(res)
+            print(f"[bench] tier {t}: {res['sps']:.0f} samples/s on "
+                  f"{res['backend']}", file=sys.stderr)
+            if t == "complex":
+                continue              # also measure the 96-channel PFB
+            break
+        print(f"[bench] tier {t} failed "
+              f"({res.get('err', 'backend=cpu')[:90]})", file=sys.stderr)
+
+    if results:
+        best = max(results, key=lambda r: r["sps"])
+        scope = ("" if best["variant"].startswith("singlecarrier")
+                 else f"{best['carriers']}carrier_")
+        print(json.dumps({
+            "metric": f"iq_samples_per_sec_per_chip_{scope}"
+                      f"{best['variant']}",
+            "value": round(best["sps"], 1), "unit": "samples/s",
+            "vs_baseline": round(best["sps"] / BASELINE_SPS, 2)}))
+        sys.stdout.flush()
+        os._exit(0)
+
+    # accelerator unusable -> honest CPU fallback in a fresh process
+    print("[bench] no accelerator tier verified; falling back to CPU "
+          "backend", file=sys.stderr)
+    proc = subprocess.run([sys.executable, os.path.abspath(__file__),
+                           "--cpu"], capture_output=True, text=True,
+                          timeout=1800)
+    sys.stdout.write(proc.stdout.splitlines()[-1] + "\n"
+                     if proc.stdout.strip() else "{}\n")
     sys.stdout.flush()
-    os._exit(0)                       # daemon watchdog threads may linger
+    os._exit(proc.returncode)
 
 
 if __name__ == "__main__":

@@ -22,13 +22,19 @@ def bench():
 
 class TestMeasure:
     def test_cpu_measure_small(self, bench):
-        sps, backend, variant, carriers = bench._measure(num_carriers=4,
-                                                         scale=1, iters=1)
-        assert backend == "cpu"
+        sps, variant, carriers = bench._measure_cpu(num_carriers=4,
+                                                    scale=1, iters=1)
         assert variant in ("demod_decode", "demod_decode_realpair",
                            "pfb_demod_decode")
         assert carriers in (4, 96)
         assert sps > 1e5          # sanity: >0.1 MS/s even tiny/contended
+
+    def test_tier_child_contract(self, bench):
+        # every tier must run standalone and return (sps, variant, carriers)
+        sps, variant, carriers = bench._run_tier("single", num_carriers=4,
+                                                 scale=1, iters=1)
+        assert variant == "singlecarrier_demod_sync" and carriers == 1
+        assert sps > 1e5
 
     def test_verified_rate_raises_on_hang(self, bench, monkeypatch):
         # a digest that never completes must raise, not wedge the bench

@@ -20,24 +20,41 @@ def _llr(bits, flip=None, rng=None):
     return jnp.asarray(x)
 
 
-class TestGeneralPuncturing:
+class TestSpecPuncturing:
     @pytest.mark.parametrize("n_in,n_out", [(292, 432), (148, 432),
                                             (80, 120)])
     def test_indices_strictly_increasing_in_range(self, n_in, n_out):
-        idx = vit.puncture_indices_general(n_in, n_out)
+        idx = vit.puncture_indices_spec(n_in, n_out)
         assert idx.size == n_out
         assert np.all(np.diff(idx) > 0)
         assert idx[0] >= 0 and idx[-1] < 4 * n_in
 
-    def test_generator_usage_balanced(self):
-        # kept indices should cycle all four generators, not starve one
-        idx = vit.puncture_indices_general(292, 432)
-        counts = np.bincount(idx % 4, minlength=4)
-        assert counts.min() > 0.8 * counts.max()
+    def test_spec_index_vectors(self):
+        """Pin the §8.2.3.1.3 k(j) values (0-based): k(j) =
+        8*floor((i-1)/t) + P(i - t*floor((i-1)/t)) - 1 with the spec's
+        (t, P, i-map) per scheme."""
+        # rate 2/3: t=3, P=(1,2,5), i=j -> 0,1,4, 8,9,12, 16,...
+        idx = vit.puncture_indices_spec(80, 120)
+        np.testing.assert_array_equal(idx[:9],
+                                      [0, 1, 4, 8, 9, 12, 16, 17, 20])
+        # TCH/4.8 292->432: i = j + (j-1)//65 -> first skip lands at j=66
+        idx = vit.puncture_indices_spec(292, 432)
+        np.testing.assert_array_equal(idx[:6], [0, 1, 4, 8, 9, 12])
+        assert idx[64] == 8 * 21 + 1          # j=65: i=65 -> P(2)
+        assert idx[65] == 8 * 22 + 0          # j=66: i=67 -> P(1)
+        assert idx[-1] == 1164 and (idx[-1] // 4) + 1 == 292
+        # TCH/2.4 148->432: t=6, P=(1,2,3,5,6,7), i = j + (j-1)//35
+        idx = vit.puncture_indices_spec(148, 432)
+        np.testing.assert_array_equal(idx[:8], [0, 1, 2, 4, 5, 6, 8, 9])
+        assert idx[-1] == 590 and (idx[-1] // 4) + 1 == 148
 
-    # measured correction floors (6-trial sweeps): rate 292/432 cleans
-    # ~1.9% coded BER, rate 148/432 cleans ~7%
-    @pytest.mark.parametrize("k1,flips", [(288, 8), (144, 30)])
+    def test_unknown_rate_raises(self):
+        with pytest.raises(ValueError):
+            vit.puncture_indices_spec(100, 177)
+
+    # measured correction floors for the spec tables (8-trial sweeps):
+    # rate 292/432 cleans ~1.4% coded BER, rate 148/432 cleans >8.8%
+    @pytest.mark.parametrize("k1,flips", [(288, 6), (144, 30)])
     def test_punctured_round_trip_clean_and_noisy(self, k1, flips):
         rng = np.random.default_rng(k1)
         bits = rng.integers(0, 2, k1).astype(np.uint8)
@@ -47,6 +64,12 @@ class TestGeneralPuncturing:
         np.testing.assert_array_equal(np.asarray(out), bits)
         out = vit.decode_punctured(_llr(coded, flip=flips, rng=rng), k1 + 4)
         np.testing.assert_array_equal(np.asarray(out), bits)
+
+    def test_rate_2_3_spec_matches_control_path(self):
+        """puncture_indices_spec at plain 2/3 equals the control-channel
+        puncturer used everywhere else (same spec row)."""
+        np.testing.assert_array_equal(vit.puncture_indices_spec(80, 120),
+                                      vit.puncture_indices(80))
 
 
 class TestMultiburstInterleave:

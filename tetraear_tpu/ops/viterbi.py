@@ -158,42 +158,72 @@ def viterbi_decode(llrs: jnp.ndarray, num_input_bits: int,
     return bits.reshape(batch_shape + (bits.shape[-1],))
 
 
-def puncture_indices_general(num_input_bits: int,
-                             num_output_bits: int) -> np.ndarray:
-    """Evenly spread kept mother-bit indices for arbitrary RCPC rates.
+# ---------------------------------------------------------------------------
+# EN 300 392-2 §8.2.3.1.3 puncturing schemes.  The spec defines the
+# punctured stream as b'(j) = b(k(j)) over the serialized mother bits with
+#
+#     k(j) = 8*floor((i-1)/t) + P(i - t*floor((i-1)/t)),   j = 1..n_out
+#
+# where (t, P) select the base scheme and i maps j with periodic skips for
+# the two traffic rates (the published scheme, as carried by public
+# implementations, e.g. osmo-tetra lower_mac/tetra_conv_enc.c):
+#
+#     rate 2/3 (control channels):  t=3, P=(1,2,5),        i = j
+#     rate 1/3:                     t=6, P=(1,2,3,5,6,7),  i = j
+#     TCH/4.8 (292 -> 432):         t=3, P=(1,2,5),        i = j + (j-1)//65
+#     TCH/2.4 (148 -> 432):         t=6, P=(1,2,3,5,6,7),  i = j + (j-1)//35
+#
+# All four yield strictly increasing, duplicate-free k covering exactly
+# the (num_input_bits) trellis steps — pinned by tests/unit/test_tch.py.
+# ---------------------------------------------------------------------------
 
-    TETRA's traffic channels puncture the rate-1/4 mother code to
-    non-2/3 rates (TCH/4.8: 292 -> 432, TCH/2.4: 148 -> 432, EN 300
-    392-2 §8.2.3.1.3).  The spec's exact index tables need spec access
-    unavailable here (ROUND1.md gap #3); this map keeps the exact spec
-    geometry with a maximal-spread selection k(j) = floor(j·4n/m) —
-    strictly increasing for all TETRA rates (spread > 1), cycling the
-    four generators evenly, and shared verbatim by encoder and decoder
-    so every TX/RX round trip in the repo is self-consistent.
-    """
-    total = RATE_DEN * num_input_bits
-    assert 0 < num_output_bits <= total
-    idx = (np.arange(num_output_bits, dtype=np.int64)
-           * total) // num_output_bits
-    assert np.all(np.diff(idx) > 0)
+_P_2_3 = (0, 1, 4)             # P=(1,2,5), 0-based
+_P_1_3 = (0, 1, 2, 4, 5, 6)    # P=(1,2,3,5,6,7), 0-based
+
+_PUNCTURE_SCHEMES = {
+    # (num_input_bits incl. tail, num_output_bits): (t, P0, skip_period)
+    (292, 432): (3, _P_2_3, 65),    # TCH/4.8
+    (148, 432): (6, _P_1_3, 35),    # TCH/2.4
+}
+
+
+def puncture_indices_spec(num_input_bits: int,
+                          num_output_bits: int) -> np.ndarray:
+    """Spec-exact kept mother-bit indices (0-based) for the §8.2.3.1.3
+    punctured rates (num_input_bits includes the 4 tail bits)."""
+    if (num_input_bits, num_output_bits) in _PUNCTURE_SCHEMES:
+        t, P0, skip = _PUNCTURE_SCHEMES[(num_input_bits, num_output_bits)]
+        j = np.arange(1, num_output_bits + 1, dtype=np.int64)
+        i = j + (j - 1) // skip
+    elif num_output_bits * 2 == num_input_bits * 3:
+        t, P0 = 3, _P_2_3                     # plain rate 2/3
+        i = np.arange(1, num_output_bits + 1, dtype=np.int64)
+    elif num_output_bits == num_input_bits * 3:
+        t, P0 = 6, _P_1_3                     # plain rate 1/3
+        i = np.arange(1, num_output_bits + 1, dtype=np.int64)
+    else:
+        raise ValueError(
+            f"no §8.2.3.1.3 scheme for {num_input_bits}->{num_output_bits}")
+    idx = 8 * ((i - 1) // t) + np.asarray(P0, np.int64)[(i - 1) % t]
+    assert np.all(np.diff(idx) > 0) and idx[-1] < RATE_DEN * num_input_bits
     return idx
 
 
 def encode_punctured(bits: np.ndarray, num_output_bits: int) -> np.ndarray:
-    """Host-side tail-terminated encode at an arbitrary punctured rate."""
+    """Host-side tail-terminated encode at a §8.2.3.1.3 punctured rate."""
     bits = np.asarray(bits)
     mother = conv_encode(bits, terminate=True)
-    return mother[puncture_indices_general(len(bits) + 4, num_output_bits)]
+    return mother[puncture_indices_spec(len(bits) + 4, num_output_bits)]
 
 
 def decode_punctured(llrs: jnp.ndarray, num_input_bits: int) -> jnp.ndarray:
-    """Depuncture (zero-LLR erasures) + Viterbi for arbitrary rates.
+    """Depuncture (zero-LLR erasures) + Viterbi for the punctured rates.
 
     llrs: (..., num_output_bits); num_input_bits includes the 4 tail bits;
     returns (..., num_input_bits - 4).
     """
-    idx = jnp.asarray(puncture_indices_general(num_input_bits,
-                                               llrs.shape[-1]))
+    idx = jnp.asarray(puncture_indices_spec(num_input_bits,
+                                            llrs.shape[-1]))
     full = jnp.zeros(llrs.shape[:-1] + (RATE_DEN * num_input_bits,),
                      llrs.dtype)
     full = full.at[..., idx].set(llrs)
