@@ -41,7 +41,7 @@ WATCHDOG_S = 240.0
 TIER_TIMEOUT_S = 1500.0          # child budget incl. remote compile (~3 min)
 
 # accelerator tiers, best first; each runs in its own process
-TIERS = ("complex", "pfb", "realpair64", "realpair0", "single")
+TIERS = ("fused", "complex", "pfb", "realpair64", "realpair0", "single")
 
 
 def _verified_rate(step_fn, digest_fn, inputs, n: int, iters: int) -> float:
@@ -106,6 +106,16 @@ def _run_tier(tier: str, num_carriers: int, scale: int, iters: int):
     digest = jax.jit(lambda out: (out.sync_corr.sum()
                                   + out.count.sum().astype(jnp.float32)))
 
+    if tier == "fused":
+        # composite-kernel front-end (ops/fused.py): decision-identical
+        # to "complex" (tests/unit/test_fused_frontend.py), MXU-shaped
+        mc = MulticarrierFrontend(cfg, num_candidates=64, threshold=0.80,
+                                  fused=True)
+        fn = mc._compiled_fused(tuple(float(v) for v in offsets))
+        xs = [put_complex(x) for x in xs_np]
+        zero = jnp.int32(0)
+        rate = _verified_rate(lambda x: fn(x, zero), digest, xs, n, iters)
+        return rate, "fused_demod_decode", num_carriers
     if tier == "complex":
         mc = MulticarrierFrontend(cfg, num_candidates=64, threshold=0.80)
         xs = [put_complex(x) for x in xs_np]
@@ -221,6 +231,10 @@ def main() -> int:
     # channel count, then stop (don't burn time on lower tiers)
     results = []
     for t in TIERS:
+        if t == "complex" and any(r.get("variant") == "fused_demod_decode"
+                                  for r in results):
+            continue          # fused already proved the full decode; the
+            # staged variant is the same decisions, strictly slower
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--tier", t],
@@ -238,7 +252,7 @@ def main() -> int:
             results.append(res)
             print(f"[bench] tier {t}: {res['sps']:.0f} samples/s on "
                   f"{res['backend']}", file=sys.stderr)
-            if t == "complex":
+            if t in ("fused", "complex"):
                 continue              # also measure the 96-channel PFB
             break
         print(f"[bench] tier {t} failed "

@@ -1,0 +1,118 @@
+"""Fused composite-conv front-end (ops/fused.py): same linear operator as
+the staged mixer + decimation FIR + channel FIR cascade, pinned at the
+sample level (allclose) and the decision level (identical decoded
+frames/candidates)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tetraear_tpu.config import ReceiverConfig
+from tetraear_tpu.models.multicarrier import MulticarrierFrontend
+from tetraear_tpu.ops import channelizer, fir, fused
+from tetraear_tpu.utils import synth
+
+
+def _staged(x, offsets, cfg, start_index=0):
+    decim = cfg.decimation_factor
+    taps_d = jnp.asarray(fir.design_decimation_fir(
+        decim, cfg.decim_fir_taps_per_phase))
+    cutoff = (cfg.channel_bandwidth_hz / 2) / (cfg.intermediate_rate_hz / 2)
+    taps_c = jnp.asarray(fir.design_channel_fir(cfg.channel_fir_taps,
+                                                cutoff))
+    y = channelizer.channelize(jnp.asarray(x), jnp.asarray(offsets),
+                               cfg.sample_rate_hz, decim, taps=taps_d,
+                               start_index=start_index)
+    return np.asarray(fir.fir_filter_same(y, taps_c))
+
+
+def _fused(x, offsets, cfg, start_index=0):
+    decim = cfg.decimation_factor
+    cutoff = (cfg.channel_bandwidth_hz / 2) / (cfg.intermediate_rate_hz / 2)
+    kernel, gc, rot = fused.fused_kernel(
+        np.asarray(offsets, np.float64), cfg.sample_rate_hz, decim,
+        cfg.decim_fir_taps_per_phase, cfg.channel_fir_taps, cutoff)
+    return np.asarray(fused.fused_channelize(
+        jnp.asarray(x, jnp.complex64), kernel, gc, rot, decim,
+        start_index=start_index))
+
+
+class TestOperatorEquivalence:
+    @pytest.mark.parametrize("start_index", [0, 13 * 96])
+    def test_allclose_on_interior(self, rng, start_index):
+        cfg = ReceiverConfig()
+        n = 40_000
+        x = ((rng.standard_normal(n) + 1j * rng.standard_normal(n)) * 0.3
+             ).astype(np.complex64)
+        offsets = np.array([-50e3, -25e3, 0.0, 25e3, 75e3], np.float32)
+        a = _staged(x, offsets, cfg, start_index)
+        b = _fused(x, offsets, cfg, start_index)
+        assert a.shape == b.shape
+        # identical LTI operator up to fp order; boundaries differ by the
+        # cascade's two-stage zero-padding vs the composite's one-stage
+        g = 200 // cfg.decimation_factor + 20
+        interior = np.s_[:, g:-g]
+        scale = np.abs(a[interior]).mean() + 1e-12
+        err = np.abs(a[interior] - b[interior]).max() / scale
+        assert err < 2e-3, err
+
+    def test_non_grid_offsets_supported(self, rng):
+        cfg = ReceiverConfig()
+        n = 20_000
+        x = ((rng.standard_normal(n) + 1j * rng.standard_normal(n)) * 0.3
+             ).astype(np.complex64)
+        offsets = np.array([-31_415.0, 12_345.0], np.float32)
+        a = _staged(x, offsets, cfg)
+        b = _fused(x, offsets, cfg)
+        g = 60
+        scale = np.abs(a[:, g:-g]).mean() + 1e-12
+        assert np.abs(a[:, g:-g] - b[:, g:-g]).max() / scale < 5e-3
+
+
+class TestDecisionEquivalence:
+    def _wideband(self):
+        fs = 2.4e6
+        x = None
+        for seed, off in [(1, -25e3), (2, 0.0), (3, 25e3)]:
+            st = synth.make_stream_bits(
+                num_frames=4, lead_bits=64, seed=seed, golden=True,
+                payload=f"CARRIER {seed} MSG".encode()[:20])
+            syms = synth.bits_to_symbols(st)
+            ph = synth.synthesize_symbol_phasors(syms, mapping="ref")
+            iq = synth.upsample_hold(ph, fs, fs / 130.0)
+            if x is None:
+                x = np.zeros(len(iq), np.complex64)
+            t = np.arange(len(x)) / fs
+            x += (iq[:len(x)] * np.exp(2j * np.pi * off * t)
+                  ).astype(np.complex64)
+        return x
+
+    def test_fused_frontend_identical_decisions(self):
+        x = self._wideband()
+        offsets = np.array([-25e3, 0.0, 25e3], np.float32)
+        staged = MulticarrierFrontend()(x, offsets)
+        fused_fe = MulticarrierFrontend(fused=True)(x, offsets)
+        np.testing.assert_array_equal(np.asarray(staged.count),
+                                      np.asarray(fused_fe.count))
+        # same bits everywhere the windows are valid
+        sv = np.asarray(staged.cand_valid)
+        fv = np.asarray(fused_fe.cand_valid)
+        np.testing.assert_array_equal(sv, fv)
+        np.testing.assert_array_equal(
+            np.asarray(staged.cand_pos)[sv], np.asarray(fused_fe.cand_pos)[fv])
+        np.testing.assert_array_equal(
+            np.asarray(staged.frame_bits)[sv],
+            np.asarray(fused_fe.frame_bits)[fv])
+        np.testing.assert_array_equal(np.asarray(staged.crc_ok)[sv],
+                                      np.asarray(fused_fe.crc_ok)[fv])
+
+    def test_fused_decodes_all_carriers(self):
+        from tetraear_tpu.models.multicarrier import MulticarrierDecoder
+        x = self._wideband()
+        offsets = np.array([-25e3, 0.0, 25e3], np.float32)
+        mc = MulticarrierFrontend(fused=True)
+        per_carrier = MulticarrierDecoder(3, auto_decrypt=False).decode(
+            mc(x, offsets))
+        for c, frames in enumerate(per_carrier):
+            texts = {f.get("sds_message") for f in frames}
+            assert f"[TXT] CARRIER {c + 1} MSG" in texts

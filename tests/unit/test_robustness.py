@@ -73,3 +73,49 @@ class TestParserFuzz:
             burst = p.parse_burst(symbols)
             assert burst is not None
             assert burst.data_bits.shape[0] in (216, 510)
+
+
+class TestBackendResolution:
+    """resolve_platform must bound worst-case time-to-first-output on a
+    dead tunnel (VERDICT r1 item 3) and honor the workload-size gate."""
+
+    def test_hanging_probe_falls_back_to_cpu_fast(self, tmp_path,
+                                                  monkeypatch):
+        import time
+        from tetraear_tpu.utils import backend
+
+        # fake a backend whose probe child hangs forever
+        monkeypatch.setattr(backend, "_PROBE_CODE",
+                            "import time; time.sleep(3600)")
+        monkeypatch.setattr(backend, "_cache_path",
+                            lambda: str(tmp_path / "probe.json"))
+        t0 = time.time()
+        assert backend.resolve_platform("auto", probe_timeout=1.0) == "cpu"
+        assert time.time() - t0 < 5.0
+        # the hang verdict is cached: the second call must not re-probe
+        t0 = time.time()
+        assert backend.resolve_platform("auto", probe_timeout=30.0) == "cpu"
+        assert time.time() - t0 < 0.5
+
+    def test_small_workload_skips_probe_entirely(self, tmp_path,
+                                                 monkeypatch):
+        from tetraear_tpu.utils import backend
+
+        def boom(timeout):
+            raise AssertionError("probe must not run for small workloads")
+
+        monkeypatch.setattr(backend, "_probe_default_backend", boom)
+        monkeypatch.setattr(backend, "_cache_path",
+                            lambda: str(tmp_path / "probe.json"))
+        assert backend.resolve_platform(
+            "auto", workload_samples=200_000) == "cpu"
+
+    def test_explicit_platform_skips_probe(self, monkeypatch):
+        from tetraear_tpu.utils import backend
+
+        def boom(timeout):
+            raise AssertionError("probe must not run for explicit platform")
+
+        monkeypatch.setattr(backend, "_probe_default_backend", boom)
+        assert backend.resolve_platform("cpu") == "cpu"
+        assert backend.resolve_platform("tpu") == "default"

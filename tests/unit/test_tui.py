@@ -1,0 +1,122 @@
+"""Terminal UI (ui/tui.py) + audio playback (audio/playback.py): headless
+rendering, CaptureLoop wiring, key toggles, and the WAV sink with its
+silent-recording deletion (reference behaviors: modern.py:2827-3199
+checkboxes, :4137-4282 audio out)."""
+
+import wave
+
+import numpy as np
+import pytest
+
+from tetraear_tpu.audio.playback import AudioSink
+from tetraear_tpu.config import ReceiverConfig
+from tetraear_tpu.io.replay import FileReplaySource
+from tetraear_tpu.ui.capture_loop import CaptureLoop
+from tetraear_tpu.ui.tui import TerminalUI, TuiState, build_view
+
+
+@pytest.fixture(scope="module")
+def fixture_iq(tmp_path_factory):
+    from tetraear_tpu.io.replay import save_iq
+    from tetraear_tpu.utils import synth
+    stream = synth.make_stream_bits(num_frames=6, lead_bits=64, seed=2,
+                                    golden=True)
+    # tools/make_fixture.py recipe: ref-grid hold at 130 samples/symbol
+    syms = synth.bits_to_symbols(stream)
+    phasors = synth.synthesize_symbol_phasors(syms, mapping="ref")
+    iq = synth.upsample_hold(phasors, 2.4e6, 2.4e6 / 130.0)
+    path = tmp_path_factory.mktemp("iq") / "tui.cf32"
+    save_iq(path, iq.astype(np.complex64), sample_rate=2.4e6,
+            center_frequency=390.865e6)
+    return str(path)
+
+
+def _render_text(state, width=110):
+    from rich.console import Console
+    console = Console(record=True, width=width, force_terminal=True)
+    console.print(build_view(state, width))
+    return console.export_text()
+
+
+class TestView:
+    def test_empty_state_renders(self):
+        txt = _render_text(TuiState())
+        assert "MHz" in txt and "SDS" in txt and "uit" in txt
+
+    def test_loop_to_view_end_to_end(self, fixture_iq):
+        src = FileReplaySource(fixture_iq, sample_rate=2.4e6,
+                               frequency=390.865e6)
+        loop = CaptureLoop(src, always_decode=True, afc=False,
+                           receiver_config=ReceiverConfig())
+        ui = TerminalUI(loop, audio_sink=None)
+        loop.run(max_chunks=4)
+        # chunking loses edge-straddling frames (reference behavior);
+        # 6 synthesized frames reliably yield several survivors
+        assert loop.frames_decoded >= 2
+        assert len(ui.state.rows) == loop.frames_decoded
+        assert any("HELLO" in m for m in ui.state.messages)
+        txt = _render_text(ui.state)
+        assert "HELLO" in txt
+        # waterfall/spectrum panel populated from on_spectrum
+        assert ui.state.waterfall.as_array().size > 0
+
+
+class TestKeys:
+    def _ui(self):
+        loop = CaptureLoop(source=None)
+        return TerminalUI(loop)
+
+    def test_toggles(self):
+        ui = self._ui()
+        st = ui.state
+        before = (st.auto_decrypt, st.denoise, st.follow_freq,
+                  st.hear_voice, st.monitor_raw)
+        for key in "adfvr":
+            assert ui.handle_key(key) is True
+        after = (st.auto_decrypt, st.denoise, st.follow_freq,
+                 st.hear_voice, st.monitor_raw)
+        assert all(a != b for a, b in zip(after, before))
+        assert ui.loop.auto_decrypt == st.auto_decrypt
+        assert ui.loop.monitor_raw == st.monitor_raw
+
+    def test_quit(self):
+        ui = self._ui()
+        assert ui.handle_key("q") is False
+        assert ui.loop.running is False
+
+
+class TestAudioSink:
+    def test_wav_sink_records_and_keeps_loud(self, tmp_path):
+        sink = AudioSink(record_dir=str(tmp_path), backend="wav-only")
+        tone = 0.5 * np.sin(2 * np.pi * 440 *
+                            np.arange(8000) / 8000).astype(np.float32)
+        sink.play(tone)
+        kept = sink.close()
+        assert kept is not None and kept.exists()
+        with wave.open(str(kept)) as w:
+            assert w.getframerate() == 8000
+            assert w.getnframes() == 8000
+
+    def test_silent_recording_deleted(self, tmp_path):
+        sink = AudioSink(record_dir=str(tmp_path), backend="wav-only")
+        sink.play(np.zeros(4000, np.float32))
+        assert sink.close() is None
+        assert list(tmp_path.glob("*.wav")) == []
+
+    def test_play_never_raises_without_recording(self):
+        sink = AudioSink(backend="wav-only")
+        sink.play(np.ones(100, np.float32))
+        assert sink.close() is None
+
+    def test_subprocess_backend_downgrades_on_failure(self, tmp_path,
+                                                      monkeypatch):
+        import tetraear_tpu.audio.playback as pb
+        sink = AudioSink(record_dir=str(tmp_path), backend="aplay")
+
+        def boom(*a, **k):
+            raise FileNotFoundError("aplay")
+
+        monkeypatch.setattr(pb.subprocess, "run", boom)
+        sink.play(np.ones(100, np.float32) * 0.3)
+        assert sink.backend == "wav-only"
+        assert sink.close() is not None     # audio still landed in the WAV

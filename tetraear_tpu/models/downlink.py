@@ -34,6 +34,7 @@ from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from tetraear_tpu import constants as C
@@ -409,8 +410,10 @@ class DownlinkReceiver:
         The DQPSK quantizer tolerates ~1 kHz residual; the centroid lands
         well inside that at workable SNR (pinned by test)."""
         from tetraear_tpu.ops import spectrum as sp
+        from tetraear_tpu.utils.backend import put_complex
         n_fft = C.SPECTRUM_FFT_SIZE
-        x = jnp.asarray(iq[: (len(iq) // n_fft) * n_fft], jnp.complex64)
+        x = put_complex(np.asarray(iq[: (len(iq) // n_fft) * n_fft],
+                                   np.complex64))
         if x.shape[-1] < n_fft:
             return 0.0
         p_db = np.asarray(sp.spectrum_frames_dbfs(x, n_fft)).mean(axis=0)
@@ -872,8 +875,12 @@ class MulticarrierDownlinkReceiver:
 
     def receive(self, iq) -> List[List[DownlinkFrame]]:
         """Wideband IQ -> per-carrier decoded downlink frames."""
-        from tetraear_tpu.utils.backend import pull_with_watchdog
-        iq = jnp.asarray(iq, jnp.complex64)
+        from tetraear_tpu.utils.backend import pull_with_watchdog, \
+            put_complex
+        if not isinstance(iq, jax.Array):
+            iq = put_complex(np.asarray(iq, np.complex64))
+        else:
+            iq = jnp.asarray(iq, jnp.complex64)
         soft_bits, counts = self._compiled(int(iq.shape[-1]))(iq)
         counts = pull_with_watchdog(lambda: np.asarray(counts),
                                     what="multicarrier demod sync")

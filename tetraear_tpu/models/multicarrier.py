@@ -67,6 +67,21 @@ def extract_candidates(bits: jnp.ndarray, corr: jnp.ndarray,
     return top_pos.astype(jnp.int32), top_corr, valid, frames.astype(jnp.uint8), crc_ok
 
 
+def _demod_tail(y: jnp.ndarray, cfg: ReceiverConfig, k: int,
+                threshold: float) -> MulticarrierResult:
+    """Shared post-channelizer stages: timing -> demod -> sync -> top-K
+    candidates + batched CRC."""
+    ts = timing.best_phase_pick(y, cfg.ref_samples_per_symbol)
+    hard = dqpsk.demodulate_hard(ts.symbols, profile="ref")
+    bits = dqpsk.symbols_to_bits(hard)
+    corr = sync.best_correlation(bits)
+    valid_bits = jnp.maximum(ts.count - 1, 0) * 2
+    pos, ccorr, valid, frames, crc_ok = extract_candidates(
+        bits, corr, valid_bits, k, threshold)
+    return MulticarrierResult(bits, corr, ts.count, pos, ccorr, valid,
+                              frames, crc_ok)
+
+
 def _multicarrier_block(x: jnp.ndarray, offsets_hz: jnp.ndarray,
                         cfg: ReceiverConfig, k: int, threshold: float,
                         start_index) -> MulticarrierResult:
@@ -79,25 +94,25 @@ def _multicarrier_block(x: jnp.ndarray, offsets_hz: jnp.ndarray,
     y = channelizer.channelize(x, offsets_hz, cfg.sample_rate_hz, decim,
                                taps=taps_d, start_index=start_index)
     y = fir.fir_filter_same(y, taps_c)
-    ts = timing.best_phase_pick(y, cfg.ref_samples_per_symbol)
-    hard = dqpsk.demodulate_hard(ts.symbols, profile="ref")
-    bits = dqpsk.symbols_to_bits(hard)
-    corr = sync.best_correlation(bits)
-    valid_bits = jnp.maximum(ts.count - 1, 0) * 2
-    pos, ccorr, valid, frames, crc_ok = extract_candidates(
-        bits, corr, valid_bits, k, threshold)
-    return MulticarrierResult(bits, corr, ts.count, pos, ccorr, valid,
-                              frames, crc_ok)
+    return _demod_tail(y, cfg, k, threshold)
 
 
 class MulticarrierFrontend:
-    """Jitted multi-carrier block pipeline with a fixed candidate budget."""
+    """Jitted multi-carrier block pipeline with a fixed candidate budget.
+
+    ``fused=True`` replaces the staged mixer + decimation FIR + channel
+    FIR with one dense multi-channel convolution (ops/fused.py) — the
+    same linear operator, MXU-shaped (2.5x front-end speedup measured on
+    the TPU); requires concrete (host) carrier offsets at call time.
+    """
 
     def __init__(self, config: ReceiverConfig | None = None,
-                 num_candidates: int = 64, threshold: float = 0.80):
+                 num_candidates: int = 64, threshold: float = 0.80,
+                 fused: bool = False):
         self.config = config or ReceiverConfig()
         self.num_candidates = num_candidates
         self.threshold = threshold
+        self.fused = fused
 
     @functools.lru_cache(maxsize=8)
     def _compiled(self, n: int, c: int):
@@ -108,21 +123,52 @@ class MulticarrierFrontend:
             return _multicarrier_block(x, offsets, cfg, k, thr, start_index)
         return run
 
+    @functools.lru_cache(maxsize=8)
+    def _compiled_fused(self, offs_key: tuple):
+        from tetraear_tpu.ops import fused
+        cfg, k, thr = self.config, self.num_candidates, self.threshold
+        decim = cfg.decimation_factor
+        cutoff = ((cfg.channel_bandwidth_hz / 2)
+                  / (cfg.intermediate_rate_hz / 2))
+        kernel, gc, rot_cycles = fused.fused_kernel(
+            np.asarray(offs_key, np.float64), cfg.sample_rate_hz, decim,
+            cfg.decim_fir_taps_per_phase, cfg.channel_fir_taps, cutoff)
+        kernel_dev = jax.device_put(kernel)
+        rot_np = np.asarray(rot_cycles)
+
+        @jax.jit
+        def run(x, kern, start_index):
+            y = fused.fused_channelize(x, kern, gc, rot_np, decim,
+                                       start_index)
+            return _demod_tail(y, cfg, k, thr)
+        return lambda x, start_index: run(x, kernel_dev, start_index)
+
     def __call__(self, x, offsets_hz, start_index: int = 0
                  ) -> MulticarrierResult:
-        x = jnp.asarray(x, jnp.complex64)
+        if not isinstance(x, jax.Array):
+            from tetraear_tpu.utils.backend import put_complex
+            x = put_complex(np.asarray(x, np.complex64))
+        else:
+            x = jnp.asarray(x, jnp.complex64)
+        if self.fused:
+            offs_key = tuple(float(v) for v in np.asarray(offsets_hz))
+            fn = self._compiled_fused(offs_key)
+            return fn(x, jnp.int32(start_index))
         # no numpy round-trip: offsets may already live on device
         offsets = jnp.asarray(offsets_hz, jnp.float32)
         fn = self._compiled(x.shape[-1], offsets.shape[-1])
         return fn(x, offsets, jnp.int32(start_index))
 
     def __hash__(self):
-        return hash((self.config, self.num_candidates, self.threshold))
+        return hash((self.config, self.num_candidates, self.threshold,
+                     self.fused))
 
     def __eq__(self, other):
         return (isinstance(other, MulticarrierFrontend)
-                and (self.config, self.num_candidates, self.threshold)
-                == (other.config, other.num_candidates, other.threshold))
+                and (self.config, self.num_candidates, self.threshold,
+                     self.fused)
+                == (other.config, other.num_candidates, other.threshold,
+                    other.fused))
 
 
 class PfbMulticarrierFrontend:
@@ -176,7 +222,11 @@ class PfbMulticarrierFrontend:
         return run
 
     def __call__(self, x) -> MulticarrierResult:
-        x = jnp.asarray(x, jnp.complex64)
+        if not isinstance(x, jax.Array):
+            from tetraear_tpu.utils.backend import put_complex
+            x = put_complex(np.asarray(x, np.complex64))
+        else:
+            x = jnp.asarray(x, jnp.complex64)
         return self._compiled(x.shape[-1])(x)
 
     def __hash__(self):

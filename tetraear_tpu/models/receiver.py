@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from tetraear_tpu import constants as C
 from tetraear_tpu.config import ReceiverConfig
 from tetraear_tpu.ops import ddc, dqpsk, fir, iir, sync, timing
+from tetraear_tpu.utils import backend
 
 
 class DemodResult(NamedTuple):
@@ -96,7 +97,13 @@ class Frontend:
         return run
 
     def __call__(self, iq, freq_offset: float = 0.0) -> DemodResult:
-        iq = jnp.asarray(iq, jnp.complex64)
+        from tetraear_tpu.utils.backend import put_complex
+        if not isinstance(iq, jax.Array):
+            # complex H2D is UNIMPLEMENTED on the remote backend: ship
+            # real/imag f32 and rebuild complex64 on device
+            iq = put_complex(np.asarray(iq, np.complex64))
+        else:
+            iq = jnp.asarray(iq, jnp.complex64)
         apply_shift = bool(freq_offset != 0.0)
         fn = self._compiled(iq.shape[-1], apply_shift)
         return fn(iq, jnp.float32(freq_offset))
@@ -147,7 +154,7 @@ class SignalProcessor:
             return np.array([], dtype=np.uint8)
         res = self._frontend(samples, freq_offset)
         count = int(res.count)
-        self.symbols = np.asarray(res.symbols_iq)[:count]
+        self.symbols = backend.get_complex(res.symbols_iq)[:count]
         if count < 2:
             return np.array([], dtype=np.uint8)
         return np.asarray(res.hard_symbols)[:count - 1]
@@ -161,10 +168,10 @@ class SignalProcessor:
         """FFT resample to target rate (processor.py:35-49 semantics)."""
         samples = np.asarray(samples)
         new_n = int(len(samples) * target_rate / self.sample_rate)
-        x = jnp.asarray(samples, jnp.complex64)
+        x = backend.put_complex(np.asarray(samples, np.complex64))
         spec = jnp.fft.fft(x)
         out = _fft_resample(spec, len(samples), new_n)
-        return np.asarray(out)
+        return backend.get_complex(out)
 
     def filter_signal(self, samples, bandwidth=C.CHANNEL_BANDWIDTH_HZ,
                       sample_rate=None):
@@ -173,18 +180,19 @@ class SignalProcessor:
         if samples.size == 0:
             return samples
         cutoff = (bandwidth / 2) / (fs / 2)
+        xd = backend.put_complex(np.asarray(samples, np.complex64))
         if self.config.profile == "ref-exact":
-            return np.asarray(iir.butter_filtfilt_exact(
-                jnp.asarray(samples, jnp.complex64), cutoff))
+            return backend.get_complex(
+                iir.butter_filtfilt_exact(xd, cutoff))
         taps = jnp.asarray(fir.design_channel_fir(
             self.config.channel_fir_taps, cutoff))
-        return np.asarray(fir.fir_filter_same(
-            jnp.asarray(samples, jnp.complex64), taps))
+        return backend.get_complex(fir.fir_filter_same(xd, taps))
 
     def frequency_shift(self, samples, freq_offset, sample_rate=None):
         fs = sample_rate if sample_rate is not None else self.sample_rate
-        return np.asarray(ddc.frequency_shift(
-            jnp.asarray(samples, jnp.complex64), freq_offset, fs))
+        return backend.get_complex(ddc.frequency_shift(
+            backend.put_complex(np.asarray(samples, np.complex64)),
+            freq_offset, fs))
 
     def extract_symbols(self, samples, sample_rate=None):
         fs = sample_rate if sample_rate is not None else self.sample_rate
@@ -192,15 +200,17 @@ class SignalProcessor:
         if samples.size == 0:
             return np.array([], dtype=complex)
         sps = int(fs / self.symbol_rate)
-        ts = timing.best_phase_pick(jnp.asarray(samples, jnp.complex64), sps)
-        return np.asarray(ts.symbols)[:int(ts.count)]
+        ts = timing.best_phase_pick(
+            backend.put_complex(np.asarray(samples, np.complex64)), sps)
+        return backend.get_complex(ts.symbols)[:int(ts.count)]
 
     def demodulate_dqpsk(self, samples) -> np.ndarray:
         samples = np.asarray(samples)
         if samples.size < 2:
             return np.array([], dtype=np.uint8)
         return np.asarray(dqpsk.demodulate_hard(
-            jnp.asarray(samples, jnp.complex64), profile="ref"))
+            backend.put_complex(np.asarray(samples, np.complex64)),
+            profile="ref"))
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))

@@ -79,7 +79,11 @@ class EtsiReceiver:
         return run
 
     def __call__(self, iq, freq_offset: float = 0.0) -> EtsiDemodResult:
-        iq = jnp.asarray(iq, jnp.complex64)
+        if not isinstance(iq, jax.Array):
+            from tetraear_tpu.utils.backend import put_complex
+            iq = put_complex(np.asarray(iq, np.complex64))
+        else:
+            iq = jnp.asarray(iq, jnp.complex64)
         return self._compiled(iq.shape[-1])(iq, jnp.float32(freq_offset))
 
     def process(self, iq, freq_offset: float = 0.0) -> np.ndarray:

@@ -1,0 +1,147 @@
+"""Fused multicarrier front-end: ONE dense multi-channel convolution
+replaces the per-carrier mixer + decimation FIR + channel FIR cascade.
+
+Derivation (all three stages are LTI per carrier, so they compose):
+
+    staged:  x_c[n] = x[n] e^{-j2pi f_c n / fs}
+             y1 = centered_decim_fir(x_c) downsampled by D     (taps_d, G1)
+             y2[m] = sum_j taps_c[j] y1[m + G2 - j]            (taps_c, G2)
+
+    fused:   h = taps_c upsampled by D, convolved with taps_d  (composite)
+             K_c[u] = h[u] e^{+j2pi f_c u / fs}                (modulated)
+             y2[m] = e^{-j2pi f_c (mD + Gc) / fs}
+                     * sum_u K_c[u] x[mD + Gc - u],   Gc = G2*D + G1
+
+The sum is one `lax.conv_general_dilated` with 2 input channels (re/im)
+and 2C output channels — a dense implicit GEMM that XLA tiles onto the
+MXU, unlike the staged C=1 convolutions (measured on the remote TPU:
+20.4 ms fused vs 50.1 ms staged for 16 carriers x 2.08 M samples; see
+tools/tpu_profile_stages.py / ROUND2.md).  The residual per-output
+rotation runs at the decimated rate (10x cheaper than the full-rate
+mixer it replaces).
+
+Numerically this is the same linear operator as the cascade (LTI
+composition), differing only in float summation order; equivalence with
+the staged chain is pinned by tests/unit/test_fused_frontend.py at both
+the sample level (allclose) and the decision level (identical frames).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from tetraear_tpu.ops import fir
+
+
+@functools.lru_cache(maxsize=None)
+def composite_taps(decim: int, taps_per_phase: int,
+                   channel_taps: int, cutoff_norm: float) -> np.ndarray:
+    """taps_d (*) upsample_D(taps_c): the single-rate composite filter."""
+    taps_d = fir.design_decimation_fir(decim, taps_per_phase)
+    taps_c = fir.design_channel_fir(channel_taps, cutoff_norm)
+    up = np.zeros((len(taps_c) - 1) * decim + 1, np.float64)
+    up[::decim] = taps_c
+    return np.convolve(taps_d.astype(np.float64), up).astype(np.float32)
+
+
+def fused_kernel(offsets_hz: np.ndarray, sample_rate_hz: float,
+                 decim: int, taps_per_phase: int, channel_taps: int,
+                 cutoff_norm: float) -> tuple:
+    """Build the (2C, 2, L) real conv kernel + metadata.
+
+    Returns (kernel, group_delay, rotation_base) where kernel applies
+    y = K * x in NCW layout with output channels ordered
+    [re_0, im_0, re_1, im_1, ...] and `rotation_base[c] = f_c / fs`.
+    """
+    h = composite_taps(decim, taps_per_phase, channel_taps, cutoff_norm)
+    L = len(h)
+    g1 = (taps_per_phase * decim + 1 - 1) // 2
+    g2 = (channel_taps | 1) // 2            # design pads to odd
+    gc = g2 * decim + g1
+    offs = np.asarray(offsets_hz, np.float64)
+    C = len(offs)
+    u = np.arange(L, dtype=np.float64)
+    # conv_general_dilated computes cross-correlation; flip for真 conv:
+    # y[m] = sum_u K[u] x[mD + Gc - u]  ==  corr with reversed kernel
+    ph = np.exp(2j * np.pi * offs[:, None] * u[None, :] / sample_rate_hz)
+    Kc = (h[None, :] * ph)[:, ::-1]          # (C, L), reversed for corr
+    kr = Kc.real.astype(np.float32)
+    ki = Kc.imag.astype(np.float32)
+    # complex multiply via real conv: out_re = x_re*Kr - x_im*Ki,
+    #                                 out_im = x_re*Ki + x_im*Kr
+    kernel = np.zeros((2 * C, 2, L), np.float32)
+    kernel[0::2, 0] = kr
+    kernel[0::2, 1] = -ki
+    kernel[1::2, 0] = ki
+    kernel[1::2, 1] = kr
+    return jnp.asarray(kernel), gc, offs / sample_rate_hz
+
+
+def _rotation_period(rot_cycles: np.ndarray, max_q: int = 4608) -> int:
+    """Smallest Q with every f_c*Q/fs an integer (0 if none <= max_q).
+
+    For the TETRA 25 kHz grid at 2.4 MS/s this is 96: the residual
+    rotation is then an exact function of (start + Gc + m*D) mod Q."""
+    for q in range(1, max_q + 1):
+        if np.allclose(rot_cycles * q, np.round(rot_cycles * q),
+                       atol=1e-12):
+            return q
+    return 0
+
+
+def fused_channelize(x: jnp.ndarray, kernel: jnp.ndarray, gc: int,
+                     rot_cycles: np.ndarray, decim: int,
+                     start_index=0) -> jnp.ndarray:
+    """x: (N,) complex64 -> (C, ceil(N/decim)) complex64 baseband carriers.
+
+    Matches ops/channelizer.channelize + ops/fir.fir_filter_same output
+    (same grid, same group-delay alignment); `start_index` keeps mixer
+    phase continuous across blocks, as the staged path does.
+    """
+    n = x.shape[-1]
+    m_out = -(-n // decim)                                   # ceil(N/D)
+    xri = jnp.stack([jnp.real(x), jnp.imag(x)])[None]       # (1, 2, N)
+    L = kernel.shape[-1]
+    # output m reads x[mD + gc - u]; the corr form needs left pad
+    # L-1-gc, and right pad sized so the output length is exactly m_out
+    pad_l = L - 1 - gc
+    pad_r = max(0, (m_out - 1) * decim + gc + 1 - n)
+    out = lax.conv_general_dilated(
+        xri, kernel, (decim,), ((pad_l, pad_r),),
+        dimension_numbers=("NCW", "OIW", "NCW"),
+        preferred_element_type=jnp.float32)[0]               # (2C, M)
+    y = lax.complex(out[0::2], out[1::2])                    # (C, M)
+
+    # residual rotation e^{-j2pi f (s + mD + Gc) / fs} at the LOW rate.
+    rot_cycles = np.asarray(rot_cycles, np.float64)
+    q = _rotation_period(rot_cycles)
+    m = jnp.arange(m_out, dtype=jnp.int32)
+    if q:
+        # exact path (grid-aligned carriers): (C, Q) host-built table —
+        # no accumulating f32 error however long the block.  The phase
+        # index (s + Gc + mD) mod Q repeats every p = Q/gcd(D, Q) output
+        # samples, so gather one tiny period and tile (this backend's
+        # large gathers are pathological, tools/tpu_bisect.py)
+        import math
+        ph = np.exp(-2j * np.pi * rot_cycles[:, None]
+                    * np.arange(q)[None, :]).astype(np.complex64)
+        p = q // math.gcd(decim % q or q, q)
+        m0 = jnp.arange(p, dtype=jnp.int32)
+        idx0 = (jnp.asarray(start_index, jnp.int32) + gc
+                + m0 * decim) % q
+        base = jnp.asarray(ph)[:, idx0]                      # (C, p)
+        reps = -(-m_out // p)
+        rot = jnp.tile(base, (1, reps))[:, :m_out]           # (C, M)
+    else:
+        # general offsets: f32 direct, same precision class as the
+        # staged full-rate mixer it replaces
+        arg = jnp.asarray(rot_cycles, jnp.float32)[:, None] * (
+            jnp.asarray(start_index, jnp.float32) + gc
+            + m[None, :].astype(jnp.float32) * decim)
+        rot = jnp.exp(-2j * jnp.pi * (arg - jnp.round(arg)))
+    return (y * rot).astype(jnp.complex64)

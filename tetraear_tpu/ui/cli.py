@@ -128,6 +128,38 @@ def _load_keys(args, loop_or_decoder):
         loop_or_decoder.set_keys(keys)
 
 
+def cmd_tui(args) -> int:
+    """Interactive terminal UI (ui/tui.py): live waterfall + tables +
+    SDS feed + key toggles + voice playback — the terminal counterpart of
+    the reference's ModernTetraGUI (modern.py:2518-5420)."""
+    from tetraear_tpu.audio.playback import AudioSink
+    from tetraear_tpu.ui.capture_loop import CaptureLoop
+    from tetraear_tpu.ui.logging_setup import get_records_dir
+    from tetraear_tpu.ui.tui import TerminalUI
+
+    source = _make_source(args)
+    loop = CaptureLoop(
+        source,
+        frequency=args.frequency * 1e6,
+        sample_rate=args.sample_rate * 1e6,
+        auto_decrypt=args.auto_decrypt,
+        always_decode=bool(args.iq_file or args.synthetic),
+        afc=not args.no_afc,
+        overlap=args.overlap,
+        receiver_config=_receiver_config(args),
+    )
+    _load_keys(args, loop)
+    sink = AudioSink(record_dir=(str(get_records_dir())
+                                 if args.record else None))
+    ui = TerminalUI(loop, audio_sink=sink)
+    try:
+        ui.run(max_chunks=args.max_chunks, duration_s=args.duration)
+    except KeyboardInterrupt:
+        loop.stop(join=False)
+    print(ui.state.session.summary())
+    return 0
+
+
 def cmd_listen(args) -> int:
     from tetraear_tpu.io.recorder import JsonlFrameRecorder
     from tetraear_tpu.ui.capture_loop import CaptureLoop
@@ -660,6 +692,23 @@ def main(argv=None) -> int:
              "execute (this host's remote-TPU tunnel degrades intermittently)")
     sub = parser.add_subparsers(dest="command")
 
+    p_tui = sub.add_parser("tui", help="interactive terminal UI "
+                           "(waterfall + tables + SDS + key toggles)")
+    _add_common(p_tui)
+    p_tui.add_argument("--device", type=str, default=None)
+    p_tui.add_argument("--record", action="store_true",
+                       help="record decoded voice to a WAV in records/")
+    p_tui.add_argument("--loop", action="store_true",
+                       help="loop replay file")
+    p_tui.add_argument("--realtime", action="store_true",
+                       help="pace replay at capture rate")
+    p_tui.add_argument("--no-afc", action="store_true")
+    p_tui.add_argument("--overlap", type=int, default=0)
+    p_tui.add_argument("--max-chunks", type=int, default=None)
+    p_tui.add_argument("--duration", type=float, default=None,
+                       help="exit after N seconds (headless demos)")
+    p_tui.set_defaults(func=cmd_tui)
+
     p_listen = sub.add_parser("listen", help="live/replay decode loop")
     _add_common(p_listen)
     p_listen.add_argument("-m", "--monitor-audio", action="store_true")
@@ -760,11 +809,25 @@ def main(argv=None) -> int:
         return 2
 
     from tetraear_tpu.utils.backend import apply_platform, resolve_platform
-    resolved = resolve_platform(args.platform)
+
+    # one-shot file decodes report their size so `auto` can skip the
+    # accelerator when the job is too small to amortize its remote
+    # compile (minutes over the tunnel vs seconds total on CPU)
+    workload = None
+    iq_file = getattr(args, "iq_file", None)
+    if iq_file:
+        try:
+            workload = os.path.getsize(iq_file) // 8   # complex64 samples
+        except OSError:
+            pass
+    resolved = resolve_platform(args.platform, workload_samples=workload)
     apply_platform(resolved)
     if resolved == "cpu" and args.platform == "auto":
-        print("note: accelerator backend unavailable/degraded -> CPU "
-              "(override with --platform tpu)", file=sys.stderr)
+        reason = ("input too small to amortize accelerator compile"
+                  if workload is not None and workload < 20_000_000
+                  else "accelerator backend unavailable/degraded")
+        print(f"note: {reason} -> CPU (override with --platform tpu)",
+              file=sys.stderr)
 
     # persistent XLA compile cache removes the ~1-2 s per-shape compile cost
     # on repeat CLI runs (CPU backend only — the remote-TPU backend's cache

@@ -21,11 +21,17 @@ import subprocess
 import sys
 import tempfile
 import time
+from typing import Optional
 
 import numpy as np
 
 PROBE_TTL_S = 300.0
-PROBE_TIMEOUT_S = 45.0
+# Worst-case time-to-first-output on a dead tunnel must stay in single
+# digits: the probe program is tiny (a healthy window answers in ~5 s
+# incl. the child's jax import), so 10 s separates healthy from wedged.
+# A slow-but-healthy window misclassified as dead costs one cached-TTL
+# period on CPU — the right trade for an interactive CLI.
+PROBE_TIMEOUT_S = 10.0
 
 # Degradation on this backend is program-dependent (tiny programs have
 # succeeded in windows where realistic ones fail), so the probe runs at a
@@ -66,17 +72,31 @@ def _probe_default_backend(timeout: float) -> dict:
     return {"ok": False, "backend": "unknown", "reason": err[-120:]}
 
 
+# Below this many input samples, a one-shot CLI run can never win on the
+# remote accelerator: its first compile alone is minutes over the tunnel
+# while the CPU finishes the whole job in seconds.  `--platform tpu`
+# overrides (power users / long captures / resident services).
+AUTO_MIN_ACCEL_SAMPLES = 20_000_000
+
+
 def resolve_platform(prefer: str = "auto",
-                     probe_timeout: float = PROBE_TIMEOUT_S) -> str:
+                     probe_timeout: float = PROBE_TIMEOUT_S,
+                     workload_samples: Optional[int] = None) -> str:
     """Decide which platform this process should use.
 
     Returns "cpu", or "default" (keep whatever JAX would pick).  Must be
     consulted before the first in-process JAX backend use.
+    ``workload_samples`` lets one-shot commands report their input size;
+    small jobs resolve to CPU without probing (compile-amortization
+    argument above).
     """
     if prefer == "cpu":
         return "cpu"
     if prefer in ("tpu", "default"):
         return "default"
+    if (workload_samples is not None
+            and workload_samples < AUTO_MIN_ACCEL_SAMPLES):
+        return "cpu"
 
     # auto: trust a recent cached verdict, else probe in a child process
     path = _cache_path()
@@ -125,9 +145,12 @@ def put_complex(x):
     import jax
     import jax.numpy as jnp
 
+    if isinstance(x, jax.Array) and not isinstance(x, jax.core.Tracer):
+        return x                      # already on device — no transfer
     x = np.asarray(x)
-    if not np.iscomplexobj(x):
-        return jax.device_put(x)
+    if not np.iscomplexobj(x) or jax.default_backend() == "cpu":
+        return jax.device_put(jnp.asarray(x, jnp.complex64)
+                              if np.iscomplexobj(x) else x)
     ri = np.ascontiguousarray(
         np.stack([x.real, x.imag]).astype(np.float32))
     global _COMPLEX_JOIN
