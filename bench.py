@@ -124,10 +124,12 @@ def _run_tier(tier: str, num_carriers: int, scale: int, iters: int):
                               xs, n, iters)
         return rate, "demod_decode", num_carriers
     if tier == "pfb":
-        # 96-channel critically-stacked polyphase filterbank: every 25 kHz
-        # channel in the 2.4 MHz capture decoded at once; one shared
-        # polyphase FIR plus a DFT matmul — the MXU-shaped formulation.
-        pfb = PfbMulticarrierFrontend(cfg, num_candidates=64, threshold=0.80)
+        # 96-channel polyphase filterbank as ONE dense modulated conv
+        # (ops/fused.pfb_kernel): every 25 kHz channel in the 2.4 MHz
+        # capture decoded at once.  The gather-based formulation is
+        # pathological on the remote backend (tools/tpu_bisect.py).
+        pfb = PfbMulticarrierFrontend(cfg, num_candidates=64,
+                                      threshold=0.80, fused=True)
         xs = [put_complex(x) for x in xs_np]
         return _verified_rate(pfb, digest, xs, n, iters), \
             "pfb_demod_decode", 96

@@ -1,0 +1,97 @@
+"""SNR sensitivity regression (VERDICT r1 item 10): pinned pass-rate
+curves for the ref-compat chain vs the etsi profile.
+
+Measured round 2 (3 seeds/point, wideband-referenced SNR over the full
+2.4 MHz capture; in-band = wideband + 19.8 dB channel-filter gain):
+
+    wideband SNR   ref-compat   etsi
+          0 dB        0.83      1.00
+         -3 dB        0.67      1.00
+         -6 dB        0.11      1.00
+         -8 dB        0.00      1.00
+        -12 dB        0.00      1.00
+        -14 dB        0.00      0.58
+        -16 dB        0.00      0.00
+
+The etsi profile (real rate-2/3 soft Viterbi + true burst structure)
+keeps 100% CRC ~6 dB past the ref-compat chain's collapse — the
+framework's declared capability story (the reference performs no channel
+decoding at all, /root/reference/tetraear/core/protocol.py:300).  This
+test asserts the curve shape with margin so a DSP regression fails it.
+"""
+
+import numpy as np
+import pytest
+
+from tetraear_tpu.config import ReceiverConfig
+from tetraear_tpu.core.decoder import TetraDecoder
+from tetraear_tpu.models.downlink import (DownlinkConfig, DownlinkReceiver,
+                                          DownlinkTransmitter)
+from tetraear_tpu.models.receiver import SignalProcessor
+from tetraear_tpu.utils import synth
+from tetraear_tpu.utils.synth import make_mac_block_bits
+
+SEEDS = 2
+FRAMES = 6
+
+
+def _refcompat_rate(snr_db: float) -> float:
+    got = tot = 0
+    for seed in range(SEEDS):
+        stream = synth.make_stream_bits(num_frames=FRAMES, lead_bits=64,
+                                        seed=2, golden=True)
+        syms = synth.bits_to_symbols(stream)
+        ph = synth.synthesize_symbol_phasors(syms, mapping="ref")
+        iq = synth.upsample_hold(ph, 2.4e6, 2.4e6 / 130.0)
+        rng = np.random.default_rng(100 + seed)
+        std = 10 ** (-snr_db / 20) / np.sqrt(2)
+        iq = iq + std * (rng.standard_normal(len(iq))
+                         + 1j * rng.standard_normal(len(iq)))
+        sp = SignalProcessor(config=ReceiverConfig())
+        frames = TetraDecoder(auto_decrypt=False).decode(
+            sp.process(iq.astype(np.complex64)))
+        got += sum(1 for f in frames if f.get("burst_crc"))
+        tot += FRAMES
+    return got / tot
+
+
+@pytest.fixture(scope="module")
+def etsi_rates():
+    tx = DownlinkTransmitter(DownlinkConfig())
+    pay = {k: make_mac_block_bits(b"SENSITIVITY", seed=k)
+           for k in range(12) if k % 4 != 0}
+    bits = tx.stream_bits(12, payloads=pay)
+
+    def rate(snr_db: float) -> float:
+        ok = tot = 0
+        for seed in range(SEEDS):
+            iq = tx.modulate(bits, snr_db=snr_db, seed=seed)
+            frames = DownlinkReceiver().receive(iq)
+            ok += sum(1 for f in frames if f.crc_ok)
+            tot += 11
+        return ok / tot
+    return rate
+
+
+@pytest.mark.slow
+def test_sensitivity_curves_pinned(etsi_rates):
+    ref0 = _refcompat_rate(0)
+    ref_m6 = _refcompat_rate(-6)
+    ref_m12 = _refcompat_rate(-12)
+    etsi_m6 = etsi_rates(-6)
+    etsi_m12 = etsi_rates(-12)
+    etsi_m16 = etsi_rates(-16)
+
+    # ref-compat chain: healthy at 0 dB, collapsing by -6, dead by -12
+    assert ref0 >= 0.6, ref0
+    assert ref_m12 <= 0.1, ref_m12
+
+    # etsi profile: full CRC at -6 and -12 dB wideband (in-band ~8 dB),
+    # collapsed by -16 — the measured cliff with margin
+    assert etsi_m6 >= 0.9, etsi_m6
+    assert etsi_m12 >= 0.9, etsi_m12
+    assert etsi_m16 <= 0.5, etsi_m16
+
+    # the capability claim: etsi >= ref-compat at every measured point
+    assert etsi_m6 >= ref_m6
+    assert etsi_m12 >= ref_m12

@@ -184,11 +184,15 @@ class PfbMulticarrierFrontend:
 
     def __init__(self, config: ReceiverConfig | None = None,
                  num_candidates: int = 64, threshold: float = 0.80,
-                 taps_per_branch: int = 8):
+                 taps_per_branch: int = 8, fused: bool = False):
         self.config = config or ReceiverConfig()
         self.num_candidates = num_candidates
         self.threshold = threshold
         self.taps_per_branch = taps_per_branch
+        # fused=True: same filterbank as ONE dense multi-channel conv
+        # (ops/fused.pfb_kernel) — the gather-based formulation is
+        # pathological on the remote TPU backend
+        self.fused = fused
         fs = self.config.sample_rate_hz
         self.num_channels = int(round(fs / 25e3))
         self.decim = self.config.decimation_factor
@@ -205,20 +209,26 @@ class PfbMulticarrierFrontend:
         num_channels, decim, tpb = (self.num_channels, self.decim,
                                     self.taps_per_branch)
 
+        if self.fused:
+            from tetraear_tpu.ops import fused
+            kernel, gc, rot = fused.pfb_kernel(
+                num_channels, cfg.sample_rate_hz, taps_per_branch=tpb)
+            kernel_dev = jax.device_put(kernel)
+            rot_np = np.asarray(rot)
+
+            @jax.jit
+            def run_fused(x, kern):
+                y = fused.fused_channelize(x, kern, gc, rot_np, decim,
+                                           start_index=0)
+                return _demod_tail(y, cfg, k, thr)
+            return lambda x: run_fused(x, kernel_dev)
+
         @jax.jit
         def run(x):
             from tetraear_tpu.ops import pfb
             taps = pfb.design_prototype(num_channels, tpb)
             y = pfb.pfb_channelize(x, num_channels, decim, taps)
-            ts = timing.best_phase_pick(y, cfg.ref_samples_per_symbol)
-            hard = dqpsk.demodulate_hard(ts.symbols, profile="ref")
-            bits = dqpsk.symbols_to_bits(hard)
-            corr = sync.best_correlation(bits)
-            valid_bits = jnp.maximum(ts.count - 1, 0) * 2
-            pos, ccorr, valid, frames, crc_ok = extract_candidates(
-                bits, corr, valid_bits, k, thr)
-            return MulticarrierResult(bits, corr, ts.count, pos, ccorr,
-                                      valid, frames, crc_ok)
+            return _demod_tail(y, cfg, k, thr)
         return run
 
     def __call__(self, x) -> MulticarrierResult:
@@ -231,14 +241,14 @@ class PfbMulticarrierFrontend:
 
     def __hash__(self):
         return hash((self.config, self.num_candidates, self.threshold,
-                     self.taps_per_branch))
+                     self.taps_per_branch, self.fused))
 
     def __eq__(self, other):
         return (isinstance(other, PfbMulticarrierFrontend)
                 and (self.config, self.num_candidates, self.threshold,
-                     self.taps_per_branch)
+                     self.taps_per_branch, self.fused)
                 == (other.config, other.num_candidates, other.threshold,
-                    other.taps_per_branch))
+                    other.taps_per_branch, other.fused))
 
 
 class MulticarrierDecoder:

@@ -49,25 +49,19 @@ def composite_taps(decim: int, taps_per_phase: int,
     return np.convolve(taps_d.astype(np.float64), up).astype(np.float32)
 
 
-def fused_kernel(offsets_hz: np.ndarray, sample_rate_hz: float,
-                 decim: int, taps_per_phase: int, channel_taps: int,
-                 cutoff_norm: float) -> tuple:
-    """Build the (2C, 2, L) real conv kernel + metadata.
+def modulated_kernel(taps: np.ndarray, offsets_hz: np.ndarray,
+                     sample_rate_hz: float) -> tuple:
+    """(2C, 2, L) real conv kernel K_c[u] = taps[u] e^{+j2pi f_c u / fs},
+    reversed for conv_general_dilated's cross-correlation, with output
+    channels ordered [re_0, im_0, re_1, im_1, ...].
 
-    Returns (kernel, group_delay, rotation_base) where kernel applies
-    y = K * x in NCW layout with output channels ordered
-    [re_0, im_0, re_1, im_1, ...] and `rotation_base[c] = f_c / fs`.
-    """
-    h = composite_taps(decim, taps_per_phase, channel_taps, cutoff_norm)
+    Returns (kernel, rotation_cycles) with rotation_cycles[c] = f_c / fs
+    (the residual per-output rotation the caller applies)."""
+    h = np.asarray(taps, np.float64)
     L = len(h)
-    g1 = (taps_per_phase * decim + 1 - 1) // 2
-    g2 = (channel_taps | 1) // 2            # design pads to odd
-    gc = g2 * decim + g1
     offs = np.asarray(offsets_hz, np.float64)
     C = len(offs)
     u = np.arange(L, dtype=np.float64)
-    # conv_general_dilated computes cross-correlation; flip for真 conv:
-    # y[m] = sum_u K[u] x[mD + Gc - u]  ==  corr with reversed kernel
     ph = np.exp(2j * np.pi * offs[:, None] * u[None, :] / sample_rate_hz)
     Kc = (h[None, :] * ph)[:, ::-1]          # (C, L), reversed for corr
     kr = Kc.real.astype(np.float32)
@@ -79,7 +73,38 @@ def fused_kernel(offsets_hz: np.ndarray, sample_rate_hz: float,
     kernel[0::2, 1] = -ki
     kernel[1::2, 0] = ki
     kernel[1::2, 1] = kr
-    return jnp.asarray(kernel), gc, offs / sample_rate_hz
+    return jnp.asarray(kernel), offs / sample_rate_hz
+
+
+def fused_kernel(offsets_hz: np.ndarray, sample_rate_hz: float,
+                 decim: int, taps_per_phase: int, channel_taps: int,
+                 cutoff_norm: float) -> tuple:
+    """DDC-bank composite kernel: (kernel, group_delay, rotation_base)."""
+    h = composite_taps(decim, taps_per_phase, channel_taps, cutoff_norm)
+    g1 = (taps_per_phase * decim + 1 - 1) // 2
+    g2 = (channel_taps | 1) // 2            # design pads to odd
+    gc = g2 * decim + g1
+    kernel, rot = modulated_kernel(h, offsets_hz, sample_rate_hz)
+    return kernel, gc, rot
+
+
+def pfb_kernel(num_channels: int, sample_rate_hz: float,
+               taps: np.ndarray | None = None,
+               taps_per_branch: int = 8) -> tuple:
+    """Dense-conv equivalent of ops/pfb.pfb_channelize (same output:
+    causal window ending at m*decim, group delay = prototype delay).
+
+    The gather-based PFB is pathological on the remote TPU (large
+    gathers ~50x slower than dense convs, tools/tpu_bisect.py); this
+    formulation is the same math as ONE multi-channel conv:
+    K_c[k] = h[k] e^{+j2pi c k / C}, rotation e^{-j2pi c mD / C}.
+    Returns (kernel, gc=0, rotation_cycles)."""
+    from tetraear_tpu.ops import pfb
+    if taps is None:
+        taps = pfb.design_prototype(num_channels, taps_per_branch)
+    offs = pfb.channel_offsets_hz(num_channels, sample_rate_hz)
+    kernel, rot = modulated_kernel(np.asarray(taps), offs, sample_rate_hz)
+    return kernel, 0, rot
 
 
 def _rotation_period(rot_cycles: np.ndarray, max_q: int = 4608) -> int:

@@ -54,7 +54,7 @@ def main() -> int:
             frames = DownlinkReceiver().receive(iq)
             acquired += bool(frames)
             tot += expected
-            ok += sum(f.crc_ok for f in frames)
+            ok += sum(1 for f in frames if f.crc_ok)
         print(json.dumps({
             "snr_wideband_db": snr,
             "snr_inband_db": round(snr + 19.8, 1),
