@@ -102,8 +102,12 @@ class BladeRFCapture:
             buf = bytearray(num_samples * 4)
             self.sdr.sync_rx(buf, num_samples,
                              timeout_ms=self.READ_TIMEOUT_MS)
-            raw = np.frombuffer(bytes(buf), dtype=np.int16).astype(np.float32)
-            iq = raw.reshape(-1, 2) / 2048.0
+            raw = np.frombuffer(bytes(buf), dtype=np.int16)
+            from tetraear_tpu.utils import native_dsp
+            out = native_dsp.sc16q11_to_cf32(raw)
+            if out is not None:
+                return out
+            iq = raw.astype(np.float32).reshape(-1, 2) / 2048.0
             return (iq[:, 0] + 1j * iq[:, 1]).astype(np.complex64)
         except Exception as e:
             logger.error("sync_rx failed: %s", e)

@@ -113,7 +113,21 @@ def soft_crc_check_batch(data_bits: jnp.ndarray) -> jnp.ndarray:
 
 
 def soft_crc_check_host(data_bits) -> bool:
-    """Exact host-side reference _check_crc for a single frame."""
+    """Exact host-side reference _check_crc for a single frame.
+
+    Uses the native engine (native/hostdsp.cpp) when built — identical
+    verdicts, without the per-bit Python loop (the hot host gate in
+    decode_frame); falls back to the pure-Python oracle."""
+    from tetraear_tpu.utils import native_dsp
+    nv = native_dsp.soft_crc_check(data_bits, C.CRC_SOFT_ERROR_BUDGET)
+    if nv is not None:
+        return nv
+    return _py_soft_crc_check_host(data_bits)
+
+
+def _py_soft_crc_check_host(data_bits) -> bool:
+    """Pure-Python oracle for soft_crc_check_host (parity-tested against
+    the native engine in tests/unit/test_native_dsp.py)."""
     bits = np.asarray(data_bits).astype(np.uint8) & 1
     if bits.size < 16:
         return False

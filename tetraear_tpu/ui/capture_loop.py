@@ -243,9 +243,12 @@ class CaptureLoop:
             if decimation > 0:
                 audio_samples = samples[::decimation]
                 if len(audio_samples) > 1:
-                    audio = np.angle(audio_samples[1:]
-                                     * np.conj(audio_samples[:-1]))
-                    audio = audio / np.pi * 0.5
+                    from tetraear_tpu.utils import native_dsp
+                    audio = native_dsp.fm_discriminator(audio_samples)
+                    if audio is None:
+                        audio = np.angle(audio_samples[1:]
+                                         * np.conj(audio_samples[:-1])
+                                         ) / np.pi * 0.5
                     self.on_raw_audio(audio)
         except Exception:
             pass
