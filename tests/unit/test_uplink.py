@@ -4,6 +4,7 @@ isolated-burst monitor — capability beyond the downlink-only reference."""
 import numpy as np
 import pytest
 
+from tetraear_tpu.models import uplink
 from tetraear_tpu.models.uplink import UplinkMonitor, UplinkTransmitter
 from tetraear_tpu.ops import channel_coding as cc
 from tetraear_tpu.ops.scramble import extended_colour_code
@@ -162,3 +163,82 @@ class TestUplinkLayer3:
         hit = [f for f in frames if f.mac_pdu is not None]
         assert hit and bytes(hit[0].mac_pdu.data) == b"LEGACY UPLINK"
         assert hit[0].layer3 is None
+
+
+class TestSlotMonitor:
+    """UplinkSlotMonitor: slot-synchronous decode on the downlink-slaved
+    TDMA grid, with timing recovery and (TN, FN, MN) attribution."""
+
+    def _make(self, ecc=0):
+        from tetraear_tpu.protocol import cmce, mle
+        from tetraear_tpu.protocol import mac as mac_l2
+        from tetraear_tpu.ops import channel_coding as cc
+        tx = uplink.UplinkTransmitter(ecc)
+        slot_map = {}
+        for k, ssi in ((1, 100), (3, 101), (6, 102), (9, 103)):
+            pdu = cmce.UStatus(called_party=cmce.Address(1, 9000),
+                               precoded_status=k)
+            slot_map[k] = tx.signalling_nub(pdu, ssi)
+        return tx, slot_map
+
+    def test_decodes_every_active_slot_with_tdma_labels(self):
+        tx, slot_map = self._make()
+        num_slots = 12
+        bits = tx.slot_stream_bits(slot_map, num_slots, lead_bits=137,
+                                   seed=5)
+        mon = uplink.UplinkSlotMonitor(anchor=(2, 7, 30))
+        frames = mon.receive_bits(bits)
+        got = {f.slot_index for f in frames}
+        assert got == set(slot_map), got
+        assert mon.grid_phase == 137
+        from tetraear_tpu.models.downlink import advance_tdma
+        for f in frames:
+            assert (f.tn, f.fn, f.mn) == advance_tdma(2, 7, 30,
+                                                      f.slot_index)
+            assert f.crc_ok and f.channel == "SCH/F"
+            assert f.timing_offset == 0
+
+    def test_timing_recovery_tracks_clock_drift(self):
+        """A 2-bit timebase slip mid-stream must not lose lock: the
+        per-burst refinement absorbs it and reports the residual."""
+        tx, slot_map = self._make()
+        bits = tx.slot_stream_bits(slot_map, 12, lead_bits=64, seed=6)
+        # slip the MS clock by +2 bits after slot 4 (insert filler bits)
+        cut = 64 + 5 * 510
+        rng = np.random.default_rng(0)
+        slipped = np.concatenate([bits[:cut],
+                                  rng.integers(0, 2, 2).astype(np.uint8),
+                                  bits[cut:]])
+        mon = uplink.UplinkSlotMonitor()
+        frames = mon.receive_bits(slipped)
+        got = {f.slot_index for f in frames}
+        assert got == set(slot_map), got
+        late = [f for f in frames if f.slot_index >= 6]
+        assert late and any(f.timing_offset == 2 for f in late)
+        # after the first corrected burst the drift is absorbed
+        assert late[-1].timing_offset in (0, 2)
+
+    def test_cb_half_slots_found_on_grid(self):
+        from tetraear_tpu.protocol import cmce
+        tx = uplink.UplinkTransmitter(0)
+        pdu = cmce.USdsData(called_party=cmce.Address(0, 0x2A),
+                            short_data_type=0, user_data=0xCAFE)
+        cb = tx.access_cb(pdu, ssi=55)
+        # CB in the first half of slot 2, another in the SECOND half of 5
+        slot_map = {2: cb}
+        bits = tx.slot_stream_bits(slot_map, 8, lead_bits=0, seed=7)
+        second_half = np.concatenate(
+            [np.random.default_rng(1).integers(0, 2, 255).astype(np.uint8),
+             cb])[:510]
+        bits = np.concatenate([bits[:5 * 510], second_half[:510],
+                               bits[6 * 510:]])
+        mon = uplink.UplinkSlotMonitor()
+        frames = mon.receive_bits(bits)
+        by_slot = {f.slot_index: f for f in frames}
+        assert 2 in by_slot and by_slot[2].kind == "CB"
+        assert 5 in by_slot and by_slot[5].kind == "CB"
+
+    def test_idle_stream_produces_nothing(self):
+        tx = uplink.UplinkTransmitter(0)
+        bits = tx.slot_stream_bits({}, 10, seed=9)
+        assert uplink.UplinkSlotMonitor().receive_bits(bits) == []

@@ -43,6 +43,13 @@ class UplinkFrame:
     mac_pdu: Optional[object] = None
     sds_message: Optional[str] = None
     layer3: Optional[List[object]] = None   # routed Layer3Result list
+    # TDMA coordinates (UplinkSlotMonitor only; the uplink clock is
+    # slaved to the downlink frame clock)
+    tn: Optional[int] = None
+    fn: Optional[int] = None
+    mn: Optional[int] = None
+    slot_index: Optional[int] = None
+    timing_offset: int = 0        # residual bits vs the locked slot grid
 
 
 class UplinkTransmitter:
@@ -91,6 +98,42 @@ class UplinkTransmitter:
             pieces.append(np.asarray(b).astype(np.uint8))
             pieces.append(rng.integers(0, 2, gap_bits).astype(np.uint8))
         syms = synth.bits_to_symbols(np.concatenate(pieces))
+        return synth.synthesize_iq(syms, sample_rate, snr_db=snr_db,
+                                   mapping="pi4", seed=seed)
+
+    def slot_stream_bits(self, slot_map: Dict[int, np.ndarray],
+                         num_slots: int, lead_bits: int = 0,
+                         seed: int = 0) -> np.ndarray:
+        """Grid-aligned uplink stream: `num_slots` x 510-bit TDMA slots.
+
+        slot_map: {slot_index: full burst bits (510 for NUB; a CB burst is
+        zero-padded to the slot)}.  Idle slots carry modulated filler (a
+        silent MS; random bits keep the monitor's clock fed — harder than
+        silence for false-lock rejection).  The uplink slot grid is slaved
+        to the downlink's (EN 300 392-2 §7: the MS transmits on the
+        downlink-derived timebase), so `lead_bits` models the capture
+        starting mid-slot."""
+        rng = np.random.default_rng(seed)
+        out = [rng.integers(0, 2, lead_bits).astype(np.uint8)]
+        for k in range(num_slots):
+            if k in slot_map:
+                b = np.asarray(slot_map[k]).astype(np.uint8)
+                assert b.size <= C.BITS_PER_SLOT
+                pad = rng.integers(0, 2, C.BITS_PER_SLOT - b.size
+                                   ).astype(np.uint8)
+                out.append(np.concatenate([b, pad]))
+            else:
+                out.append(rng.integers(0, 2, C.BITS_PER_SLOT
+                                        ).astype(np.uint8))
+        return np.concatenate(out)
+
+    def transmit_slots(self, slot_map: Dict[int, np.ndarray],
+                       num_slots: int, lead_bits: int = 0,
+                       sample_rate: float = C.DEFAULT_SAMPLE_RATE_HZ,
+                       snr_db: float | None = None,
+                       seed: int = 0) -> np.ndarray:
+        bits = self.slot_stream_bits(slot_map, num_slots, lead_bits, seed)
+        syms = synth.bits_to_symbols(bits)
         return synth.synthesize_iq(syms, sample_rate, snr_db=snr_db,
                                    mapping="pi4", seed=seed)
 
@@ -201,3 +244,139 @@ class UplinkMonitor:
             mac_pdu = None
         return UplinkFrame(kind, start, channel, crc_ok, mac_bits,
                            mac_pdu, sds)
+
+
+class UplinkSlotMonitor:
+    """Continuous uplink monitor slaved to the downlink TDMA frame clock.
+
+    The isolated-burst :class:`UplinkMonitor` treats every burst as a
+    standalone event (midamble search over the whole stream, hard
+    thresholds).  A real uplink is slot-synchronous: the MS transmits on
+    the timebase it derives from the downlink (EN 300 392-2 §7), so once
+    the downlink receiver has the cell's slot grid and TDMA counters,
+    the uplink monitor can (a) LOCK the 510-bit slot grid, (b) attempt a
+    decode in *every* slot — midambles too weak for the isolated
+    threshold still decode because the CRC is the gate — and (c) label
+    each burst with its (TN, FN, MN), which is what links uplink traffic
+    to downlink call grants.
+
+    Grid acquisition is self-contained when no downlink anchor is given:
+    midamble hits vote on the slot phase (mode of position mod 510), and
+    per-burst timing is re-refined within ±`timing_slack` bits of the
+    grid — the continuous timing-recovery loop (tracks clock drift; the
+    residual is reported per frame as `timing_offset`).
+    """
+
+    def __init__(self, cell_ecc30: int = 0,
+                 config: ReceiverConfig | None = None,
+                 anchor: tuple = (1, 1, 1), timing_slack: int = 2):
+        self.ecc = cell_ecc30
+        self.rx = EtsiReceiver(config)
+        self.parser = TetraProtocolParser()
+        self.anchor = anchor          # (tn, fn, mn) of grid slot 0
+        self.timing_slack = timing_slack
+        self.grid_phase: Optional[int] = None
+
+    # ------------------------------------------------------------------
+    def receive(self, iq, freq_offset: float = 0.0) -> List[UplinkFrame]:
+        from tetraear_tpu.utils.backend import pull_with_watchdog
+        res = self.rx(iq, freq_offset)
+        count = pull_with_watchdog(lambda: int(res.count),
+                                   what="uplink demod sync")
+        if count < 2:
+            return []
+        soft = np.asarray(res.soft_bits)[:count - 1].reshape(-1)
+        return self.receive_soft(soft)
+
+    def receive_bits(self, bits: np.ndarray) -> List[UplinkFrame]:
+        return self.receive_soft(np.asarray(bits).astype(np.float32) * 2 - 1)
+
+    # ------------------------------------------------------------------
+    def _acquire_grid(self, hard: np.ndarray) -> Optional[int]:
+        """Slot phase from midamble votes: mode of (midamble_pos -
+        in-burst offset) mod 510 over confident hits.  ETS (control
+        bursts) votes under both half-slot hypotheses — when CBs occupy
+        mixed halves the true phase collects votes from both."""
+        from tetraear_tpu.models.downlink import _pattern_corr
+        nts_lo, _ = bursts.NUB_FIELDS["nts"]
+        ets_lo, _ = bursts.CB_FIELDS["ets"]
+        votes: List[int] = []
+        for pat, offs in ((bursts.NTS1, (nts_lo,)),
+                          (bursts.NTS2, (nts_lo,)),
+                          (bursts.ETS, (ets_lo, ets_lo + 255))):
+            corr = _pattern_corr(hard, pat)
+            for pos in np.flatnonzero(corr >= 0.9):
+                for off in offs:
+                    votes.append((int(pos) - off) % C.BITS_PER_SLOT)
+        if not votes:
+            return None
+        vals, counts = np.unique(votes, return_counts=True)
+        return int(vals[np.argmax(counts)])
+
+    def _refine(self, hard: np.ndarray, expect: int, pat) -> tuple:
+        """(best_offset, corr) of the midamble near its expected spot."""
+        from tetraear_tpu.models.downlink import _pattern_corr
+        lo = max(0, expect - self.timing_slack)
+        hi = min(hard.size - len(pat), expect + self.timing_slack)
+        if hi < lo:
+            return 0, 0.0
+        seg = hard[lo:hi + len(pat)]
+        corr = _pattern_corr(seg, pat)
+        if corr.size == 0:
+            return 0, 0.0
+        k = int(np.argmax(corr))
+        return (lo + k) - expect, float(corr[k])
+
+    # ------------------------------------------------------------------
+    def receive_soft(self, llrs: np.ndarray) -> List[UplinkFrame]:
+        hard = (llrs > 0).astype(np.uint8)
+        phase = self._acquire_grid(hard)
+        if phase is None:
+            return []
+        self.grid_phase = phase
+
+        nts_lo, _ = bursts.NUB_FIELDS["nts"]
+        ets_lo, _ = bursts.CB_FIELDS["ets"]
+        frames: List[UplinkFrame] = []
+        drift = 0                       # accumulated clock correction
+        slot = 0
+        while True:
+            start = phase + slot * C.BITS_PER_SLOT + drift
+            if start + C.BITS_PER_SLOT > llrs.size:
+                break
+            tn, fn, mn = advance_tdma_coords(self.anchor, slot)
+
+            # timing recovery: re-center on whichever midamble answers
+            best = None
+            for pat, off, kind, size in (
+                    (bursts.NTS1, nts_lo, "NUB", bursts.NUB_BITS),
+                    (bursts.NTS2, nts_lo, "NUB", bursts.NUB_BITS),
+                    (bursts.ETS, ets_lo, "CB", bursts.CB_BITS),
+                    (bursts.ETS, ets_lo + 255, "CB", bursts.CB_BITS)):
+                delta, corr = self._refine(hard, start + off, pat)
+                if best is None or corr > best[3]:
+                    best = (kind, off, delta, corr, size)
+            kind, off, delta, corr, size = best
+            b0 = start + delta if kind == "NUB" else \
+                start + delta + (off - ets_lo)
+            if corr >= 0.75 and 0 <= b0 and b0 + size <= llrs.size:
+                frame = self._decode_burst(llrs[b0:b0 + size], kind, b0)
+                if frame is not None:
+                    frame.tn, frame.fn, frame.mn = tn, fn, mn
+                    frame.slot_index = slot
+                    frame.timing_offset = delta
+                    frames.append(frame)
+                    if abs(delta) <= self.timing_slack:
+                        drift += delta   # track the MS clock
+            slot += 1
+        return frames
+
+    # same burst decode as the isolated monitor
+    _decode_burst = UplinkMonitor._decode_burst
+
+
+def advance_tdma_coords(anchor: tuple, slots: int) -> tuple:
+    """(tn, fn, mn) of `slots` slots past the anchor (downlink counting,
+    models/downlink.advance_tdma)."""
+    from tetraear_tpu.models.downlink import advance_tdma
+    return advance_tdma(anchor[0], anchor[1], anchor[2], slots)

@@ -265,7 +265,15 @@ def cmd_uplink(args) -> int:
                 data_bits=sds_tl.build_text_transfer("uplink report 7")),
                 ssi=0x777),
         ]
-        iq = tx.transmit(bursts_tx, snr_db=args.snr_db, seed=2)
+        if args.continuous:
+            # slot-synchronous simulation: bursts on the TDMA grid
+            slot_map = {2 * i + 1: b for i, b in enumerate(bursts_tx)
+                        if b.size <= 510}
+            iq = tx.transmit_slots(slot_map, 2 * len(bursts_tx) + 2,
+                                   lead_bits=120, snr_db=args.snr_db,
+                                   seed=2)
+        else:
+            iq = tx.transmit(bursts_tx, snr_db=args.snr_db, seed=2)
         if args.iq_file:
             iq.tofile(args.iq_file)
             print(f"[SIM] wrote {len(iq)} samples -> {args.iq_file}")
@@ -276,7 +284,12 @@ def cmd_uplink(args) -> int:
         iq = np.fromfile(args.iq_file, dtype=np.complex64)
 
     t0 = time.time()
-    frames = UplinkMonitor(ecc).receive(iq)
+    if args.continuous:
+        from tetraear_tpu.models.uplink import UplinkSlotMonitor
+        anchor = tuple(int(v) for v in args.anchor.split(":"))
+        frames = UplinkSlotMonitor(ecc, anchor=anchor).receive(iq)
+    else:
+        frames = UplinkMonitor(ecc).receive(iq)
     dt = time.time() - t0
     out = open(args.out_jsonl, "w") if args.out_jsonl else None
     for f in frames:
@@ -288,7 +301,10 @@ def cmd_uplink(args) -> int:
         if f.sds_message and f.sds_message not in desc:
             desc += f" {f.sds_message}"
         print(f"bit {f.start_bit:7d} {f.kind:3s} {f.channel:7s} "
-              f"crc={'-' if f.crc_ok is None else 'Y' if f.crc_ok else 'n'} {desc}")
+              f"crc={'-' if f.crc_ok is None else 'Y' if f.crc_ok else 'n'}"
+              + (f" TN{f.tn} FN{f.fn:2d} MN{f.mn:2d} slot {f.slot_index}"
+                 f"{' dt%+d' % f.timing_offset if f.timing_offset else ''}"
+                 if f.tn is not None else "") + f" {desc}")
         if out:
             out.write(json.dumps({
                 "start_bit": f.start_bit, "kind": f.kind,
@@ -787,6 +803,13 @@ def main(argv=None) -> int:
     p_ul.add_argument("--colour-code", type=int, default=17,
                       help="cell identity learned from the downlink BSCH "
                            "(keys the uplink scrambling)")
+    p_ul.add_argument("--continuous", action="store_true",
+                      help="slot-synchronous monitor locked to the "
+                           "downlink TDMA clock (grid acquisition + "
+                           "timing recovery + TN/FN/MN labels)")
+    p_ul.add_argument("--anchor", type=str, default="1:1:1",
+                      help="(--continuous) TN:FN:MN of grid slot 0, as "
+                           "learned from the downlink")
     p_ul.add_argument("-o", "--out-jsonl", type=str, default=None)
     p_ul.add_argument("-v", "--verbose", action="store_true")
     p_ul.set_defaults(func=cmd_uplink)
