@@ -192,8 +192,11 @@ def main() -> int:
     # CLI contract cheaply; defaults are the real benchmark)
     kw = dict(
         num_carriers=int(os.environ.get("BENCH_CARRIERS", 16)),
-        scale=int(os.environ.get("BENCH_SCALE", 2)),
-        iters=int(os.environ.get("BENCH_ITERS", 8)),
+        # scale 8 (8.3 M samples/block) measured fastest on the remote
+        # TPU (52.8 vs 42.3 MS/s at scale 2 — block size amortizes the
+        # per-dispatch overhead; 16.6 M regresses)
+        scale=int(os.environ.get("BENCH_SCALE", 8)),
+        iters=int(os.environ.get("BENCH_ITERS", 6)),
     )
 
     if tier is not None:
