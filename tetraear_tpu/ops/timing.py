@@ -45,14 +45,15 @@ def best_phase_pick(x: jnp.ndarray, sps: int, step: int | None = None
     m = -(-n // sps)                      # capacity: ceil(n / sps)
     phases = jnp.arange(0, sps, step, dtype=jnp.int32)   # (P,)
 
-    # index grid (P, M): p + k*sps, masked where beyond (n - p)//sps symbols
+    # phase p's samples are column p of the (M, sps) reshape — a pad +
+    # reshape + transpose + strided slice, never a gather (large gathers
+    # are pathological on the remote TPU backend, tools/tpu_bisect.py)
     k = jnp.arange(m, dtype=jnp.int32)
-    idx = phases[:, None] + k[None, :] * sps             # (P, M)
     counts = (n - phases) // sps                          # (P,)
     mask = k[None, :] < counts[:, None]                   # (P, M)
-    idx_safe = jnp.minimum(idx, n - 1)
-
-    gathered = x[..., idx_safe]                           # (..., P, M)
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, m * sps - n)])
+    grid = jnp.swapaxes(xp.reshape(x.shape[:-1] + (m, sps)), -1, -2)
+    gathered = grid[..., ::step, :]                       # (..., P, M)
     power = jnp.abs(gathered) ** 2
     power = jnp.where(mask, power, 0.0)
     mean_power = power.sum(axis=-1) / jnp.maximum(counts, 1).astype(power.dtype)
