@@ -242,3 +242,26 @@ class TestSlotMonitor:
         tx = uplink.UplinkTransmitter(0)
         bits = tx.slot_stream_bits({}, 10, seed=9)
         assert uplink.UplinkSlotMonitor().receive_bits(bits) == []
+
+
+class TestSlotMonitorTraffic:
+    def test_uplink_tch_s_voice_on_allocated_tn(self):
+        """NUBs on a traffic-allocated TN decode as TCH/S voice blocks
+        (the downlink D-SETUP channel-allocation story, uplink side)."""
+        rng = np.random.default_rng(4)
+        voc = rng.integers(0, 2, (2, 432)).astype(np.uint8)
+        tx = uplink.UplinkTransmitter(0)
+        t5 = cc.encode_tch(voc, "TCH/S", ecc30=0)
+        # anchor (1,1,1): slot k has TN = (k % 4) + 1 -> TN3 = slots 2, 6
+        slot_map = {2: tx.traffic_nub(t5[0]), 6: tx.traffic_nub(t5[1])}
+        bits = tx.slot_stream_bits(slot_map, 8, lead_bits=40, seed=3)
+        mon = uplink.UplinkSlotMonitor(traffic_tns={3: "TCH/S"})
+        frames = mon.receive_bits(bits)
+        voice = [f for f in frames if f.voice_block is not None]
+        assert len(voice) == 2
+        idx = np.r_[1:115, 116:230, 231:345, 346:436]
+        for i, f in enumerate(voice):
+            assert f.tn == 3 and f.channel == "TCH/S" and f.crc_ok is None
+            blk = np.frombuffer(f.voice_block, np.int16)
+            np.testing.assert_array_equal(
+                (blk[idx] > 0).astype(np.uint8), voc[i])

@@ -50,6 +50,9 @@ class UplinkFrame:
     mn: Optional[int] = None
     slot_index: Optional[int] = None
     timing_offset: int = 0        # residual bits vs the locked slot grid
+    # traffic decode outputs (UplinkSlotMonitor with traffic_tns)
+    voice_block: Optional[bytes] = None     # TCH/S 690-short codec block
+    tch_bits: Optional[np.ndarray] = None   # TCH/7.2 decoded bits
 
 
 class UplinkTransmitter:
@@ -81,6 +84,14 @@ class UplinkTransmitter:
         k1, _ = cc.CHANNEL_GEOMETRY["SCH/F"]
         block = mac_l2.MacUplinkData(address=ssi, tm_sdu=tm).build(k1)
         return self.nub_bits(block, training)
+
+    def traffic_nub(self, type5_bits: np.ndarray,
+                    training: int = 1) -> np.ndarray:
+        """One 432-bit coded traffic block (ops/channel_coding.encode_tch
+        output row) -> normal uplink burst bits."""
+        t5 = np.asarray(type5_bits).astype(np.uint8).reshape(-1)
+        assert t5.size == 432
+        return bursts.build_nub(t5[:216], t5[216:], training)
 
     def transmit(self, burst_bits: List[np.ndarray], gap_bits: int = 64,
                  sample_rate: float = C.DEFAULT_SAMPLE_RATE_HZ,
@@ -269,12 +280,17 @@ class UplinkSlotMonitor:
 
     def __init__(self, cell_ecc30: int = 0,
                  config: ReceiverConfig | None = None,
-                 anchor: tuple = (1, 1, 1), timing_slack: int = 2):
+                 anchor: tuple = (1, 1, 1), timing_slack: int = 2,
+                 traffic_tns: Optional[Dict[int, str]] = None):
         self.ecc = cell_ecc30
         self.rx = EtsiReceiver(config)
         self.parser = TetraProtocolParser()
         self.anchor = anchor          # (tn, fn, mn) of grid slot 0
         self.timing_slack = timing_slack
+        # {TN: "TCH/S" | "TCH/7.2" | ...}: timeslots a downlink D-SETUP
+        # allocated to uplink traffic (core/calls.CallTracker learns
+        # these); their NUBs carry TCH payload instead of SCH/F
+        self.traffic_tns = traffic_tns or {}
         self.grid_phase: Optional[int] = None
 
     # ------------------------------------------------------------------
@@ -360,7 +376,12 @@ class UplinkSlotMonitor:
             b0 = start + delta if kind == "NUB" else \
                 start + delta + (off - ets_lo)
             if corr >= 0.75 and 0 <= b0 and b0 + size <= llrs.size:
-                frame = self._decode_burst(llrs[b0:b0 + size], kind, b0)
+                if kind == "NUB" and tn in self.traffic_tns:
+                    frame = self._decode_traffic(
+                        llrs[b0:b0 + size], self.traffic_tns[tn], b0)
+                else:
+                    frame = self._decode_burst(llrs[b0:b0 + size], kind,
+                                               b0)
                 if frame is not None:
                     frame.tn, frame.fn, frame.mn = tn, fn, mn
                     frame.slot_index = slot
@@ -373,6 +394,25 @@ class UplinkSlotMonitor:
 
     # same burst decode as the isolated monitor
     _decode_burst = UplinkMonitor._decode_burst
+
+    def _decode_traffic(self, llrs: np.ndarray, channel: str,
+                        start: int) -> Optional[UplinkFrame]:
+        """NUB on a traffic-allocated TN: bkn1+bkn2 carry 432 coded TCH
+        bits (no block CRC — kind tagged, crc_ok None as on the
+        downlink).  TCH/S returns the 690-short vocoder block in
+        mac_bits' place via the frame's sds-free payload path."""
+        f = bursts.NUB_FIELDS
+        coded = np.concatenate([llrs[f["bkn1"][0]:f["bkn1"][1]],
+                                llrs[f["bkn2"][0]:f["bkn2"][1]]])
+        out = np.asarray(cc.decode_tch_soft(jnp.asarray(coded), channel,
+                                            ecc30=self.ecc, depth=1))[0]
+        frame = UplinkFrame("NUB", start, channel, None, None)
+        if channel == "TCH/S":
+            from tetraear_tpu.audio.blocks import block_from_soft_llrs
+            frame.voice_block = block_from_soft_llrs(out)
+        else:
+            frame.tch_bits = out
+        return frame
 
 
 def advance_tdma_coords(anchor: tuple, slots: int) -> tuple:

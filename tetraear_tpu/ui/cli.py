@@ -572,7 +572,11 @@ def _decode_multicarrier(args, source) -> int:
                                                   MulticarrierFrontend)
     from tetraear_tpu.ops.channelizer import carrier_grid
 
-    mc = MulticarrierFrontend()
+    # fused dense-conv front-end on accelerators (2.5x, decision-identical
+    # on the 25 kHz grid); staged chain on CPU where the dense kernel's
+    # extra FLOPs would lose
+    import jax
+    mc = MulticarrierFrontend(fused=jax.default_backend() != "cpu")
     dec = MulticarrierDecoder(args.carriers, auto_decrypt=args.auto_decrypt)
     offsets = carrier_grid(args.carriers)
     out_path = args.out_jsonl or (str(Path(args.iq_file).with_suffix(""))
