@@ -164,3 +164,28 @@ class TestFusedPfb:
             np.asarray(a.frame_bits)[ch][av[ch]],
             np.asarray(b.frame_bits)[ch][bv[ch]])
         assert np.asarray(b.crc_ok)[ch][bv[ch]].any()
+
+
+class TestFusedDdc:
+    def test_ddc_kernel_matches_channelize(self, rng):
+        """fused.ddc_kernel (mixer + decimation FIR only) ==
+        ops/channelizer.channelize on the interior."""
+        cfg = ReceiverConfig()
+        n = 26_000
+        x = ((rng.standard_normal(n) + 1j * rng.standard_normal(n)) * 0.3
+             ).astype(np.complex64)
+        offsets = np.array([-50e3, 0.0, 25e3], np.float32)
+        taps_d = jnp.asarray(fir.design_decimation_fir(
+            cfg.decimation_factor, cfg.decim_fir_taps_per_phase))
+        a = np.asarray(channelizer.channelize(
+            jnp.asarray(x), jnp.asarray(offsets), cfg.sample_rate_hz,
+            cfg.decimation_factor, taps=taps_d))
+        kernel, gc, rot = fused.ddc_kernel(
+            np.asarray(offsets, np.float64), cfg.sample_rate_hz,
+            cfg.decimation_factor, cfg.decim_fir_taps_per_phase)
+        b = np.asarray(fused.fused_channelize(jnp.asarray(x), kernel, gc,
+                                              rot, cfg.decimation_factor))
+        assert a.shape == b.shape
+        g = 20
+        scale = np.abs(a[:, g:-g]).mean() + 1e-12
+        assert np.abs(a[:, g:-g] - b[:, g:-g]).max() / scale < 2e-3

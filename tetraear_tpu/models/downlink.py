@@ -865,6 +865,25 @@ class MulticarrierDownlinkReceiver:
             soft = dqpsk.demodulate_soft(ts.symbols)
             return soft.soft_bits, ts.count
 
+        if jax.default_backend() != "cpu":
+            # fused dense-conv DDC on accelerators (ops/fused.py: large
+            # per-channel convs with C=1 can't use the MXU; on CPU the
+            # dense kernel's extra FLOPs lose)
+            from tetraear_tpu.ops import fused
+            kernel, gc, rot = fused.ddc_kernel(
+                np.asarray(self.offsets, np.float64), cfg.sample_rate_hz,
+                decim, cfg.decim_fir_taps_per_phase)
+            kernel_dev = jax.device_put(kernel)
+            rot_np = np.asarray(rot)
+
+            @jax.jit
+            def run_fused(x, kern):
+                chans = fused.fused_channelize(x, kern, gc, rot_np, decim,
+                                               0)
+                return jax.vmap(tail)(chans)
+            self._run = lambda x: run_fused(x, kernel_dev)
+            return self._run
+
         @jax.jit
         def run(x):
             chans = channelizer.channelize(x, offsets, cfg.sample_rate_hz,

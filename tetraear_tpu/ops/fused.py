@@ -88,6 +88,18 @@ def fused_kernel(offsets_hz: np.ndarray, sample_rate_hz: float,
     return kernel, gc, rot
 
 
+def ddc_kernel(offsets_hz: np.ndarray, sample_rate_hz: float,
+               decim: int, taps_per_phase: int) -> tuple:
+    """Mixer + decimation FIR only (no channel FIR) as one dense conv —
+    the etsi profile's channelizer front (its channel selectivity comes
+    from the RRC matched filter downstream).  Matches
+    ops/channelizer.channelize output.  Returns (kernel, gc, rot)."""
+    taps_d = fir.design_decimation_fir(decim, taps_per_phase)
+    gc = (taps_per_phase * decim + 1 - 1) // 2
+    kernel, rot = modulated_kernel(taps_d, offsets_hz, sample_rate_hz)
+    return kernel, gc, rot
+
+
 def pfb_kernel(num_channels: int, sample_rate_hz: float,
                taps: np.ndarray | None = None,
                taps_per_branch: int = 8) -> tuple:
