@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from tetraear_tpu import constants as C
 from tetraear_tpu.config import ReceiverConfig
 from tetraear_tpu.ops import channelizer, dqpsk, fir, sync, timing
-from tetraear_tpu.ops.crc import soft_crc_check_batch
+from tetraear_tpu.ops.crc import soft_crc_dense
 
 
 class MulticarrierResult(NamedTuple):
@@ -60,10 +60,17 @@ def extract_candidates(bits: jnp.ndarray, corr: jnp.ndarray,
         jnp.broadcast_to(bits[..., None, :], bits.shape[:-1] + (k, b)),
         win, axis=-1)
     valid = (top_corr >= threshold)
-    data_bits = jnp.concatenate(
-        [frames[..., C.BURST_BLOCK1[0]:C.BURST_BLOCK1[1]],
-         frames[..., C.BURST_BLOCK2[0]:C.BURST_BLOCK2[1]]], axis=-1)
-    crc_ok = soft_crc_check_batch(data_bits)
+    # CRC verdicts come from the dense sliding conv (ops/crc.soft_crc_dense
+    # scores EVERY window position in one 33-channel correlation); gather
+    # just the K candidate verdicts.  Verdicts at invalid (clamped)
+    # candidates are meaningless either way — masked by `valid`.
+    ok_dense = soft_crc_dense(bits)                       # (..., B-229)
+    p = ok_dense.shape[-1]
+    if p == 0:
+        crc_ok = jnp.zeros(valid.shape, bool)
+    else:
+        crc_ok = jnp.take_along_axis(ok_dense,
+                                     jnp.minimum(start, p - 1), axis=-1)
     return top_pos.astype(jnp.int32), top_corr, valid, frames.astype(jnp.uint8), crc_ok
 
 

@@ -112,6 +112,65 @@ def soft_crc_check_batch(data_bits: jnp.ndarray) -> jnp.ndarray:
     return nondegenerate & ok
 
 
+@functools.lru_cache(maxsize=4)
+def _dense_crc_kernel() -> tuple:
+    """(kernel, c0) for the sliding soft-CRC conv.
+
+    A frame window (510 bits) carries its data region at window offsets
+    {0..107} u {122..229} (the sync-overlap geometry, constants
+    BURST_BLOCK1/2): payload = 200 bits, received CRC = 16 bits at
+    offsets 214..229.  CRC-16 is GF(2)-linear, so the CRC of EVERY
+    window position is one cross-correlation of the bit stream with a
+    (33, 230) kernel: rows 0-15 = forward-payload CRC dependence, rows
+    16-31 = reversed-payload, row 32 = ones over the data offsets (the
+    all-0/all-1 degeneracy counter)."""
+    A, c0 = _crc_matrix(200)
+    # payload bit j lives at window offset j (j<108) else j+14
+    off = np.concatenate([np.arange(108), np.arange(108, 200) + 14])
+    kernel = np.zeros((33, 1, 230), np.float32)
+    kernel[np.arange(16)[:, None], 0, off[None, :]] = A
+    kernel[16 + np.arange(16)[:, None], 0, off[None, ::-1]] = A
+    data_off = np.concatenate([np.arange(108), np.arange(108, 216) + 14])
+    kernel[32, 0, data_off] = 1.0
+    return kernel, c0
+
+
+def soft_crc_dense(bits: jnp.ndarray) -> jnp.ndarray:
+    """Reference soft-CRC verdict at EVERY frame-window start position.
+
+    bits: (..., B) in {0,1} -> (..., B-229) bool where out[..., s] is
+    the _check_crc verdict of the window starting at bit s.  One dense
+    33-channel convolution instead of per-candidate window gathers
+    (large gathers are pathological on the remote TPU backend) — and it
+    scores every position, not just a top-K subset.  Equivalence with
+    soft_crc_check_batch on extracted windows is pinned by tests.
+    """
+    from jax import lax
+    kernel_np, c0 = _dense_crc_kernel()
+    b = bits.shape[-1]
+    if b < 230:
+        return jnp.zeros(bits.shape[:-1] + (0,), bool)
+    x = bits.astype(jnp.float32).reshape((-1, 1, b))
+    out = lax.conv_general_dilated(
+        x, jnp.asarray(kernel_np), (1,), ((0, 0),),
+        dimension_numbers=("NCW", "OIW", "NCW"),
+        preferred_element_type=jnp.float32)       # (N, 33, B-229)
+    sums = out.astype(jnp.int32)
+    p = sums.shape[-1]
+    # received CRC bits at window offsets 214..229: 16 shifted slices
+    flat = bits.reshape((-1, b)).astype(jnp.int32)
+    rec = jnp.stack([flat[:, 214 + s: 214 + s + p] for s in range(16)],
+                    axis=1)                        # (N, 16, P)
+    c0_j = jnp.asarray(c0.astype(np.int32))[None, :, None]
+    err_f = jnp.sum((sums[:, :16] + c0_j + rec) & 1, axis=1)
+    err_r = jnp.sum((sums[:, 16:32] + c0_j + rec) & 1, axis=1)
+    ones = sums[:, 32]
+    nondegen = (ones != 0) & (ones != 216)
+    ok = ((err_f <= C.CRC_SOFT_ERROR_BUDGET)
+          | (err_r <= C.CRC_SOFT_ERROR_BUDGET)) & nondegen
+    return ok.reshape(bits.shape[:-1] + (p,))
+
+
 def soft_crc_check_host(data_bits) -> bool:
     """Exact host-side reference _check_crc for a single frame.
 
