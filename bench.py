@@ -231,11 +231,29 @@ def main() -> int:
         sys.stdout.flush()
         os._exit(0)
 
-    # parent: probe accelerator tiers in isolated children, best tier wins;
-    # once a full-decode tier verifies, also try the PFB for the higher
-    # channel count, then stop (don't burn time on lower tiers)
+    # parent: quick f32 probe first — on a wedged tunnel every tier child
+    # would burn its full budget, so classify once and go straight to CPU
+    probe = ("import numpy as np, jax, jax.numpy as jnp;"
+             "x = jnp.asarray(np.ones(260_000, np.float32));"
+             "print('OK', float(np.asarray(jnp.sum(x))))")
+    try:
+        pr = subprocess.run([sys.executable, "-c", probe],
+                            capture_output=True, text=True, timeout=90)
+        probe_ok = pr.returncode == 0 and "OK" in pr.stdout
+    except subprocess.TimeoutExpired:
+        probe_ok = False
+    if not probe_ok:
+        print("[bench] accelerator probe failed/hung; skipping tiers",
+              file=sys.stderr)
+
+    # probe accelerator tiers in isolated children, best tier wins; once a
+    # full-decode tier verifies, also try the PFB for the higher channel
+    # count, then stop (don't burn time on lower tiers)
     results = []
-    for t in TIERS:
+    hang_seen = False
+    for t in TIERS if probe_ok else ():
+        if hang_seen:
+            break             # a hung tier means the tunnel wedged mid-run
         if t == "complex" and any(r.get("variant") == "fused_demod_decode"
                                   for r in results):
             continue          # fused already proved the full decode; the
@@ -249,6 +267,7 @@ def main() -> int:
         except subprocess.TimeoutExpired:
             print(f"[bench] tier {t} timed out (> {TIER_TIMEOUT_S:.0f}s)",
                   file=sys.stderr)
+            hang_seen = True
             continue
         except (ValueError, json.JSONDecodeError):
             print(f"[bench] tier {t} produced no result", file=sys.stderr)
