@@ -422,3 +422,30 @@ class TestDownlinkCLI:
         assert sbs and all(r["mcc"] == 262 for r in sbs)
         assert any(r["voice"] for r in rows)
         assert any(r["sds"] and "DOWNLINK SDS" in r["sds"] for r in rows)
+
+
+class TestTuiCLI:
+    def test_tui_headless_replay(self, tmp_path):
+        """`tetraear_tpu tui` over a replay file: renders the live view
+        headlessly (no tty -> no key thread) and exits when the capture
+        loop drains; SDS text reaches the view and the session summary."""
+        import os
+        import subprocess
+        import sys
+        fx = tmp_path / "f.cf32"
+        gen = subprocess.run(
+            [sys.executable, "/root/repo/tools/make_fixture.py", str(fx),
+             "--frames", "6"],
+            capture_output=True, text=True, timeout=300)
+        assert gen.returncode == 0, gen.stderr[-500:]
+        proc = subprocess.run(
+            [sys.executable, "-m", "tetraear_tpu", "tui", "--iq-file",
+             str(fx), "--no-afc", "--max-chunks", "4"],
+            capture_output=True, text=True, timeout=300,
+            env={**os.environ, "PYTHONPATH": "/root/repo",
+                 "TETRAEAR_TPU_LOG_DIR": str(tmp_path / "logs"),
+                 "TETRAEAR_TPU_PLATFORM": "cpu"},
+            cwd=str(tmp_path))
+        assert proc.returncode == 0, proc.stderr[-1200:]
+        assert "HELLO HELLO" in proc.stdout
+        assert "Frames:" in proc.stdout        # session summary line
