@@ -449,3 +449,41 @@ class TestTuiCLI:
         assert proc.returncode == 0, proc.stderr[-1200:]
         assert "HELLO HELLO" in proc.stdout
         assert "Frames:" in proc.stdout        # session summary line
+
+
+class TestPfbDecodeCLI:
+    def test_full_band_pfb_decode(self, tmp_path):
+        """`decode --carriers N --pfb` decodes every 25 kHz channel; a
+        carrier planted at +50 kHz lands in PFB channel 2 with its text."""
+        import json
+        import os
+        import subprocess
+        import sys
+
+        import numpy as np
+        from tetraear_tpu.io.replay import save_iq
+        from tetraear_tpu.utils import synth
+        st = synth.make_stream_bits(num_frames=5, lead_bits=64, seed=2,
+                                    golden=True, payload=b"PFB CH2")
+        syms = synth.bits_to_symbols(st)
+        ph = synth.synthesize_symbol_phasors(syms, mapping="ref")
+        iq = synth.upsample_hold(ph, 2.4e6, 2.4e6 / 130.0)
+        t = np.arange(len(iq)) / 2.4e6
+        x = (iq * np.exp(2j * np.pi * 50e3 * t)).astype(np.complex64)
+        fx = tmp_path / "pfb.cf32"
+        save_iq(fx, x, sample_rate=2.4e6, center_frequency=392.5e6)
+
+        out = tmp_path / "o.jsonl"
+        proc = subprocess.run(
+            [sys.executable, "-m", "tetraear_tpu", "decode", str(fx),
+             "--carriers", "1", "--pfb", "--no-bits", "-o", str(out)],
+            capture_output=True, text=True, timeout=420,
+            env={**os.environ, "PYTHONPATH": "/root/repo",
+                 "TETRAEAR_TPU_LOG_DIR": str(tmp_path / "logs"),
+                 "TETRAEAR_TPU_PLATFORM": "cpu"},
+            cwd=str(tmp_path))
+        assert proc.returncode == 0, proc.stderr[-1200:]
+        assert "96 carriers" in proc.stdout
+        rows = [json.loads(l) for l in out.read_text().splitlines()]
+        ch2 = [r for r in rows if r.get("carrier") == 2]
+        assert any("PFB CH2" in (r.get("sds_message") or "") for r in ch2)

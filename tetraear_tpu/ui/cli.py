@@ -572,13 +572,22 @@ def _decode_multicarrier(args, source) -> int:
                                                   MulticarrierFrontend)
     from tetraear_tpu.ops.channelizer import carrier_grid
 
-    # fused dense-conv front-end on accelerators (2.5x, decision-identical
-    # on the 25 kHz grid); staged chain on CPU where the dense kernel's
-    # extra FLOPs would lose
+    # fused dense-conv front-ends on accelerators (2.5x, decision-
+    # identical on the 25 kHz grid); staged chains on CPU where the dense
+    # kernel's extra FLOPs would lose
     import jax
-    mc = MulticarrierFrontend(fused=jax.default_backend() != "cpu")
+    accel = jax.default_backend() != "cpu"
+    if getattr(args, "pfb", False):
+        # full-band polyphase filterbank: every 25 kHz channel at once
+        from tetraear_tpu.models.multicarrier import PfbMulticarrierFrontend
+        pfb_fe = PfbMulticarrierFrontend(fused=accel)
+        args.carriers = pfb_fe.num_channels
+        offsets = pfb_fe.channel_offsets_hz()
+        mc = lambda samples, offs, start_index=0: pfb_fe(samples)  # noqa: E731
+    else:
+        mc = MulticarrierFrontend(fused=accel)
+        offsets = carrier_grid(args.carriers)
     dec = MulticarrierDecoder(args.carriers, auto_decrypt=args.auto_decrypt)
-    offsets = carrier_grid(args.carriers)
     out_path = args.out_jsonl or (str(Path(args.iq_file).with_suffix(""))
                                   + "_frames.jsonl")
     chunk = args.chunk_size
@@ -767,6 +776,10 @@ def main(argv=None) -> int:
                           help="decode N carriers channelized from the "
                                "wideband input (25 kHz grid) instead of the "
                                "single-channel path")
+    p_decode.add_argument("--pfb", action="store_true",
+                          help="(with --carriers) polyphase filterbank: "
+                               "decode EVERY 25 kHz channel in the band "
+                               "(96 at 2.4 MS/s) in one device program")
     p_decode.add_argument("--no-bits", action="store_true",
                           help="omit raw bits from the JSONL")
     p_decode.add_argument("-o", "--out-jsonl", type=str, default=None)
