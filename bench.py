@@ -128,8 +128,11 @@ def _run_tier(tier: str, num_carriers: int, scale: int, iters: int):
         # (ops/fused.pfb_kernel): every 25 kHz channel in the 2.4 MHz
         # capture decoded at once.  The gather-based formulation is
         # pathological on the remote backend (tools/tpu_bisect.py).
-        pfb = PfbMulticarrierFrontend(cfg, num_candidates=64,
-                                      threshold=0.80, fused=True)
+        pfb = PfbMulticarrierFrontend(
+            cfg, num_candidates=64, threshold=0.80,
+            # dense modulated conv on accelerators; the gather form wins
+            # on CPU (the dense kernel does C x the FLOPs)
+            fused=jax.default_backend() != "cpu")
         xs = [put_complex(x) for x in xs_np]
         return _verified_rate(pfb, digest, xs, n, iters), \
             "pfb_demod_decode", 96
@@ -254,6 +257,9 @@ def main() -> int:
     for t in TIERS if probe_ok else ():
         if hang_seen:
             break             # a hung tier means the tunnel wedged mid-run
+        if results and t not in ("complex", "pfb"):
+            break             # a full-decode tier verified; lower tiers
+            # are strictly-worse fallbacks, not extra data
         if t == "complex" and any(r.get("variant") == "fused_demod_decode"
                                   for r in results):
             continue          # fused already proved the full decode; the

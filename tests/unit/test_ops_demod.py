@@ -188,3 +188,35 @@ class TestCRC:
         got = np.asarray(crc.soft_crc_check_batch(jnp.asarray(data)))
         want = np.array([crc.soft_crc_check_host(d) for d in data])
         np.testing.assert_array_equal(got, want)
+
+
+class TestDenseSoftCrc:
+    """ops/crc.soft_crc_dense == the windowed soft_crc_check_batch oracle
+    at every position (the flagship multicarrier path's CRC gate)."""
+
+    def test_matches_windowed_oracle_with_planted_frame(self, rng):
+        import jax.numpy as jnp
+        from tetraear_tpu.ops.crc import (soft_crc_check_batch,
+                                          soft_crc_dense)
+        from tetraear_tpu.utils.synth import make_mac_resource_frame_bits
+        bits = rng.integers(0, 2, (3, 1500)).astype(np.uint8)
+        frame = make_mac_resource_frame_bits(b"HELLO", seed=4)
+        bits[1, 137:137 + 510] = frame
+
+        dense = np.asarray(soft_crc_dense(jnp.asarray(bits)))
+        p = 1500 - 229
+        wins = np.stack([np.stack([row[s:s + 230] for s in range(p)])
+                         for row in bits])
+        data = np.concatenate([wins[..., 0:108], wins[..., 122:230]],
+                              axis=-1)
+        want = np.asarray(soft_crc_check_batch(jnp.asarray(data)))
+        np.testing.assert_array_equal(dense, want)
+        assert dense[1, 137]                 # the planted frame passes
+
+    def test_short_and_degenerate_streams(self):
+        import jax.numpy as jnp
+        from tetraear_tpu.ops.crc import soft_crc_dense
+        assert soft_crc_dense(jnp.zeros((2, 100), jnp.uint8)).shape == (2, 0)
+        all0 = np.asarray(soft_crc_dense(jnp.zeros((1, 600), jnp.uint8)))
+        all1 = np.asarray(soft_crc_dense(jnp.ones((1, 600), jnp.uint8)))
+        assert not all0.any() and not all1.any()

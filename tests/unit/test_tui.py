@@ -116,7 +116,38 @@ class TestAudioSink:
         def boom(*a, **k):
             raise FileNotFoundError("aplay")
 
-        monkeypatch.setattr(pb.subprocess, "run", boom)
+        monkeypatch.setattr(pb.subprocess, "Popen", boom)
         sink.play(np.ones(100, np.float32) * 0.3)
         assert sink.backend == "wav-only"
         assert sink.close() is not None     # audio still landed in the WAV
+
+    def test_persistent_pipe_backend(self, tmp_path, monkeypatch):
+        """aplay backend streams blocks into ONE persistent player pipe
+        (a per-block blocking run would stall the capture loop)."""
+        import tetraear_tpu.audio.playback as pb
+
+        class FakePipe:
+            def __init__(self):
+                import io
+                self.stdin = io.BytesIO()
+                self.killed = False
+
+            def poll(self):
+                return None
+
+            def wait(self, timeout=None):
+                return 0
+
+        pipes = []
+
+        def fake_popen(*a, **k):
+            pipes.append(FakePipe())
+            return pipes[-1]
+
+        monkeypatch.setattr(pb.subprocess, "Popen", fake_popen)
+        sink = AudioSink(backend="aplay")
+        sink.play(np.ones(80, np.float32) * 0.3)
+        sink.play(np.ones(80, np.float32) * 0.3)
+        assert len(pipes) == 1               # one process, two writes
+        assert len(pipes[0].stdin.getvalue()) == 2 * 80 * 2
+        sink.close()

@@ -59,6 +59,7 @@ class AudioSink:
         self._wav_path: Optional[Path] = None
         self._peak_rms = 0.0
         self._sd_stream = None
+        self._pipe: Optional[subprocess.Popen] = None
         if record_dir:
             Path(record_dir).mkdir(parents=True, exist_ok=True)
             self._wav_path = (Path(record_dir) /
@@ -99,15 +100,25 @@ class AudioSink:
                 self.backend = _detect_backend() \
                     if _detect_backend() != "sounddevice" else "wav-only"
         if self.backend in ("aplay", "paplay"):
+            # ONE persistent player process with a raw-PCM stdin pipe —
+            # per-block subprocess.run would block the capture loop for
+            # the full playback duration of every block (the reference
+            # keeps a persistent output stream too, modern.py:4161)
             try:
-                subprocess.run(
-                    [self.backend, "-q", "-f", "S16_LE", "-r",
-                     str(self.sample_rate), "-c", "1", "-t", "raw", "-"],
-                    input=i16.tobytes(), timeout=10,
-                    stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+                if self._pipe is None or self._pipe.poll() is not None:
+                    self._pipe = subprocess.Popen(
+                        [self.backend, "-q", "-f", "S16_LE", "-r",
+                         str(self.sample_rate), "-c", "1", "-t", "raw",
+                         "-"],
+                        stdin=subprocess.PIPE,
+                        stdout=subprocess.DEVNULL,
+                        stderr=subprocess.DEVNULL)
+                self._pipe.stdin.write(i16.tobytes())
+                self._pipe.stdin.flush()
             except Exception:
                 logger.warning("%s playback failed; WAV-only from here",
                                self.backend)
+                self._pipe = None
                 self.backend = "wav-only"
 
     # ------------------------------------------------------------------
@@ -121,6 +132,16 @@ class AudioSink:
             except Exception:
                 pass
             self._sd_stream = None
+        if self._pipe is not None:
+            try:
+                self._pipe.stdin.close()
+                self._pipe.wait(timeout=5)
+            except Exception:
+                try:
+                    self._pipe.kill()
+                except Exception:
+                    pass
+            self._pipe = None
         if self._wav is not None:
             try:
                 self._wav.close()

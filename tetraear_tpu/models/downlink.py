@@ -894,12 +894,9 @@ class MulticarrierDownlinkReceiver:
 
     def receive(self, iq) -> List[List[DownlinkFrame]]:
         """Wideband IQ -> per-carrier decoded downlink frames."""
-        from tetraear_tpu.utils.backend import pull_with_watchdog, \
-            put_complex
-        if not isinstance(iq, jax.Array):
-            iq = put_complex(np.asarray(iq, np.complex64))
-        else:
-            iq = jnp.asarray(iq, jnp.complex64)
+        from tetraear_tpu.utils.backend import (ensure_complex_on_device,
+                                                 pull_with_watchdog)
+        iq = ensure_complex_on_device(iq)
         soft_bits, counts = self._compiled(int(iq.shape[-1]))(iq)
         counts = pull_with_watchdog(lambda: np.asarray(counts),
                                     what="multicarrier demod sync")

@@ -152,11 +152,8 @@ class MulticarrierFrontend:
 
     def __call__(self, x, offsets_hz, start_index: int = 0
                  ) -> MulticarrierResult:
-        if not isinstance(x, jax.Array):
-            from tetraear_tpu.utils.backend import put_complex
-            x = put_complex(np.asarray(x, np.complex64))
-        else:
-            x = jnp.asarray(x, jnp.complex64)
+        from tetraear_tpu.utils.backend import ensure_complex_on_device
+        x = ensure_complex_on_device(x)
         if self.fused:
             offs_key = tuple(float(v) for v in np.asarray(offsets_hz))
             fn = self._compiled_fused(offs_key)
@@ -239,11 +236,8 @@ class PfbMulticarrierFrontend:
         return run
 
     def __call__(self, x) -> MulticarrierResult:
-        if not isinstance(x, jax.Array):
-            from tetraear_tpu.utils.backend import put_complex
-            x = put_complex(np.asarray(x, np.complex64))
-        else:
-            x = jnp.asarray(x, jnp.complex64)
+        from tetraear_tpu.utils.backend import ensure_complex_on_device
+        x = ensure_complex_on_device(x)
         return self._compiled(x.shape[-1])(x)
 
     def __hash__(self):

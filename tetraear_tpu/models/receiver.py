@@ -97,13 +97,7 @@ class Frontend:
         return run
 
     def __call__(self, iq, freq_offset: float = 0.0) -> DemodResult:
-        from tetraear_tpu.utils.backend import put_complex
-        if not isinstance(iq, jax.Array):
-            # complex H2D is UNIMPLEMENTED on the remote backend: ship
-            # real/imag f32 and rebuild complex64 on device
-            iq = put_complex(np.asarray(iq, np.complex64))
-        else:
-            iq = jnp.asarray(iq, jnp.complex64)
+        iq = backend.ensure_complex_on_device(iq)
         apply_shift = bool(freq_offset != 0.0)
         fn = self._compiled(iq.shape[-1], apply_shift)
         return fn(iq, jnp.float32(freq_offset))

@@ -79,11 +79,8 @@ class EtsiReceiver:
         return run
 
     def __call__(self, iq, freq_offset: float = 0.0) -> EtsiDemodResult:
-        if not isinstance(iq, jax.Array):
-            from tetraear_tpu.utils.backend import put_complex
-            iq = put_complex(np.asarray(iq, np.complex64))
-        else:
-            iq = jnp.asarray(iq, jnp.complex64)
+        from tetraear_tpu.utils.backend import ensure_complex_on_device
+        iq = ensure_complex_on_device(iq)
         return self._compiled(iq.shape[-1])(iq, jnp.float32(freq_offset))
 
     def process(self, iq, freq_offset: float = 0.0) -> np.ndarray:

@@ -387,8 +387,8 @@ class UplinkSlotMonitor:
                     frame.slot_index = slot
                     frame.timing_offset = delta
                     frames.append(frame)
-                    if abs(delta) <= self.timing_slack:
-                        drift += delta   # track the MS clock
+                    drift += delta       # track the MS clock (_refine
+                    # bounds delta to +/- timing_slack by construction)
             slot += 1
         return frames
 

@@ -863,8 +863,10 @@ def main(argv=None) -> int:
     resolved = resolve_platform(args.platform, workload_samples=workload)
     apply_platform(resolved)
     if resolved == "cpu" and args.platform == "auto":
+        from tetraear_tpu.utils.backend import AUTO_MIN_ACCEL_SAMPLES
         reason = ("input too small to amortize accelerator compile"
-                  if workload is not None and workload < 20_000_000
+                  if workload is not None
+                  and workload < AUTO_MIN_ACCEL_SAMPLES
                   else "accelerator backend unavailable/degraded")
         print(f"note: {reason} -> CPU (override with --platform tpu)",
               file=sys.stderr)

@@ -130,6 +130,8 @@ def build_view(state: TuiState, width: int = 100):
          f"{'F' if state.follow_freq else '-'}"
          f"{'V' if state.hear_voice else '-'}"
          f"{'R' if state.monitor_raw else '-'}] ", "magenta"),
+        (f" {state.status} ",
+         "red" if state.status.startswith("ERROR") else "dim"),
     )
 
     spark = _spectrum_sparkline(state.waterfall.current_power, width - 4)
@@ -265,18 +267,10 @@ class TerminalUI:
     def _key_thread(self, stop_event) -> None:
         import select
         import sys
-        import termios
-        import tty
-        fd = sys.stdin.fileno()
-        old = termios.tcgetattr(fd)
-        try:
-            tty.setcbreak(fd)
-            while not stop_event.is_set():
-                r, _, _ = select.select([sys.stdin], [], [], 0.2)
-                if r and not self.handle_key(sys.stdin.read(1)):
-                    stop_event.set()
-        finally:
-            termios.tcsetattr(fd, termios.TCSADRAIN, old)
+        while not stop_event.is_set():
+            r, _, _ = select.select([sys.stdin], [], [], 0.2)
+            if r and not self.handle_key(sys.stdin.read(1)):
+                stop_event.set()
 
     # -- main loop ----------------------------------------------------------
     def run(self, max_chunks: Optional[int] = None,
@@ -288,11 +282,19 @@ class TerminalUI:
 
         console = Console()
         stop = threading.Event()
-        keys = None
+        # cbreak setup/restore happens on THIS thread: a daemon key
+        # thread's finally never runs at interpreter exit, which would
+        # leave the user's shell without echo when the replay drains or
+        # --duration expires (only a 'q' keypress would restore it)
+        old_termios = None
         if sys.stdin.isatty():
-            keys = threading.Thread(target=self._key_thread, args=(stop,),
-                                    daemon=True)
-            keys.start()
+            import termios
+            import tty
+            fd = sys.stdin.fileno()
+            old_termios = termios.tcgetattr(fd)
+            tty.setcbreak(fd)
+            threading.Thread(target=self._key_thread, args=(stop,),
+                             daemon=True).start()
         worker = threading.Thread(
             target=self.loop.run, kwargs={"max_chunks": max_chunks},
             daemon=True)
@@ -312,6 +314,10 @@ class TerminalUI:
                         break
         finally:
             stop.set()
+            if old_termios is not None:
+                import termios
+                termios.tcsetattr(sys.stdin.fileno(), termios.TCSADRAIN,
+                                  old_termios)
             self.loop.stop(join=False)
             if self.audio is not None:
                 kept = self.audio.close()

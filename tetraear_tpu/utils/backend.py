@@ -145,7 +145,9 @@ def put_complex(x):
     import jax
     import jax.numpy as jnp
 
-    if isinstance(x, jax.Array) and not isinstance(x, jax.core.Tracer):
+    if isinstance(x, jax.core.Tracer):
+        return x                      # under trace — no transfer exists
+    if isinstance(x, jax.Array):
         return x                      # already on device — no transfer
     x = np.asarray(x)
     if not np.iscomplexobj(x) or jax.default_backend() == "cpu":
@@ -157,6 +159,18 @@ def put_complex(x):
     if _COMPLEX_JOIN is None:
         _COMPLEX_JOIN = jax.jit(lambda a: jax.lax.complex(a[0], a[1]))
     return _COMPLEX_JOIN(jax.device_put(ri))
+
+
+def ensure_complex_on_device(x):
+    """Model-boundary input guard: device arrays (and tracers) pass
+    through with a complex64 cast; host arrays ship via put_complex.
+    Replaces the hand-rolled isinstance dance at every frontend."""
+    import jax
+    import jax.numpy as jnp
+
+    if isinstance(x, (jax.core.Tracer, jax.Array)):
+        return jnp.asarray(x, jnp.complex64)
+    return put_complex(np.asarray(x, np.complex64))
 
 
 def get_complex(arr) -> np.ndarray:
