@@ -74,18 +74,41 @@ def extract_candidates(bits: jnp.ndarray, corr: jnp.ndarray,
     return top_pos.astype(jnp.int32), top_corr, valid, frames.astype(jnp.uint8), crc_ok
 
 
-def _demod_tail(y: jnp.ndarray, cfg: ReceiverConfig, k: int,
-                threshold: float) -> MulticarrierResult:
-    """Shared post-channelizer stages: timing -> demod -> sync -> top-K
-    candidates + batched CRC."""
+def _demod_front(y: jnp.ndarray, cfg: ReceiverConfig) -> tuple:
+    """Post-channelizer demod stages: timing -> demod -> sync scores."""
     ts = timing.best_phase_pick(y, cfg.ref_samples_per_symbol)
     hard = dqpsk.demodulate_hard(ts.symbols, profile="ref")
     bits = dqpsk.symbols_to_bits(hard)
     corr = sync.best_correlation(bits)
-    valid_bits = jnp.maximum(ts.count - 1, 0) * 2
+    return bits, corr, ts.count
+
+
+@functools.lru_cache(maxsize=8)
+def _candidates_compiled(k: int, threshold: float):
+    """The candidates+CRC stage as its OWN dispatched program.
+
+    Measured on the remote TPU: the monolithic demod+candidates program
+    runs 52-56 ms/block while the same ops split across two dispatched
+    programs run 27.9 ms (identical outputs) — the backend schedules the
+    mixed conv / top-k / gather graph pathologically when fused into one
+    executable.  The dispatch boundary is free by comparison."""
+    @jax.jit
+    def run(bits, corr, count):
+        valid_bits = jnp.maximum(count - 1, 0) * 2
+        return extract_candidates(bits, corr, valid_bits, k, threshold)
+    return run
+
+
+def _demod_tail(y: jnp.ndarray, cfg: ReceiverConfig, k: int,
+                threshold: float) -> MulticarrierResult:
+    """Single-program variant (used inside larger jits); prefer the
+    two-program _demod_front + _candidates_compiled pipeline in
+    host-called frontends (see _candidates_compiled docstring)."""
+    bits, corr, count = _demod_front(y, cfg)
+    valid_bits = jnp.maximum(count - 1, 0) * 2
     pos, ccorr, valid, frames, crc_ok = extract_candidates(
         bits, corr, valid_bits, k, threshold)
-    return MulticarrierResult(bits, corr, ts.count, pos, ccorr, valid,
+    return MulticarrierResult(bits, corr, count, pos, ccorr, valid,
                               frames, crc_ok)
 
 
@@ -126,8 +149,27 @@ class MulticarrierFrontend:
         cfg, k, thr = self.config, self.num_candidates, self.threshold
 
         @jax.jit
+        def front(x, offsets, start_index):
+            decim = cfg.decimation_factor
+            taps_d = jnp.asarray(fir.design_decimation_fir(
+                decim, cfg.decim_fir_taps_per_phase))
+            cutoff = ((cfg.channel_bandwidth_hz / 2)
+                      / (cfg.intermediate_rate_hz / 2))
+            taps_c = jnp.asarray(fir.design_channel_fir(
+                cfg.channel_fir_taps, cutoff))
+            y = channelizer.channelize(x, offsets, cfg.sample_rate_hz,
+                                       decim, taps=taps_d,
+                                       start_index=start_index)
+            y = fir.fir_filter_same(y, taps_c)
+            return _demod_front(y, cfg)
+
+        cand = _candidates_compiled(k, thr)
+
         def run(x, offsets, start_index):
-            return _multicarrier_block(x, offsets, cfg, k, thr, start_index)
+            bits, corr, count = front(x, offsets, start_index)
+            pos, ccorr, valid, frames, crc_ok = cand(bits, corr, count)
+            return MulticarrierResult(bits, corr, count, pos, ccorr,
+                                      valid, frames, crc_ok)
         return run
 
     @functools.lru_cache(maxsize=8)
@@ -144,11 +186,19 @@ class MulticarrierFrontend:
         rot_np = np.asarray(rot_cycles)
 
         @jax.jit
-        def run(x, kern, start_index):
+        def front(x, kern, start_index):
             y = fused.fused_channelize(x, kern, gc, rot_np, decim,
                                        start_index)
-            return _demod_tail(y, cfg, k, thr)
-        return lambda x, start_index: run(x, kernel_dev, start_index)
+            return _demod_front(y, cfg)
+
+        cand = _candidates_compiled(k, thr)
+
+        def run(x, start_index):
+            bits, corr, count = front(x, kernel_dev, start_index)
+            pos, ccorr, valid, frames, crc_ok = cand(bits, corr, count)
+            return MulticarrierResult(bits, corr, count, pos, ccorr,
+                                      valid, frames, crc_ok)
+        return run
 
     def __call__(self, x, offsets_hz, start_index: int = 0
                  ) -> MulticarrierResult:
@@ -213,6 +263,17 @@ class PfbMulticarrierFrontend:
         num_channels, decim, tpb = (self.num_channels, self.decim,
                                     self.taps_per_branch)
 
+        cand = _candidates_compiled(k, thr)
+
+        def _assemble(front_fn):
+            def run(x):
+                bits, corr, count = front_fn(x)
+                pos, ccorr, valid, frames, crc_ok = cand(bits, corr,
+                                                         count)
+                return MulticarrierResult(bits, corr, count, pos, ccorr,
+                                          valid, frames, crc_ok)
+            return run
+
         if self.fused:
             from tetraear_tpu.ops import fused
             kernel, gc, rot = fused.pfb_kernel(
@@ -221,19 +282,19 @@ class PfbMulticarrierFrontend:
             rot_np = np.asarray(rot)
 
             @jax.jit
-            def run_fused(x, kern):
+            def front_fused(x, kern):
                 y = fused.fused_channelize(x, kern, gc, rot_np, decim,
                                            start_index=0)
-                return _demod_tail(y, cfg, k, thr)
-            return lambda x: run_fused(x, kernel_dev)
+                return _demod_front(y, cfg)
+            return _assemble(lambda x: front_fused(x, kernel_dev))
 
         @jax.jit
-        def run(x):
+        def front(x):
             from tetraear_tpu.ops import pfb
             taps = pfb.design_prototype(num_channels, tpb)
             y = pfb.pfb_channelize(x, num_channels, decim, taps)
-            return _demod_tail(y, cfg, k, thr)
-        return run
+            return _demod_front(y, cfg)
+        return _assemble(front)
 
     def __call__(self, x) -> MulticarrierResult:
         from tetraear_tpu.utils.backend import ensure_complex_on_device
