@@ -172,10 +172,31 @@ class RealPairFrontend:
     @functools.lru_cache(maxsize=8)
     def _compiled(self, n: int, c: int):
         cfg, k, thr = self.config, self.num_candidates, self.threshold
+        if k <= 0:
+            @jax.jit
+            def run(x_ri, table):
+                return _realpair_block(x_ri, table, cfg, 0, thr)
+            return run
+
+        # candidates stage as its own dispatched program (the monolithic
+        # executable schedules ~2x slower on the remote backend — see
+        # models/multicarrier._candidates_compiled)
+        from tetraear_tpu.models.multicarrier import _candidates_compiled
 
         @jax.jit
+        def front(x_ri, table):
+            return _realpair_block(x_ri, table, cfg, 0, thr)
+
+        cand = _candidates_compiled(k, thr)
+
         def run(x_ri, table):
-            return _realpair_block(x_ri, table, cfg, k, thr)
+            res = front(x_ri, table)
+            pos, ccorr, valid, frames, crc_ok = cand(res.bits,
+                                                     res.sync_corr,
+                                                     res.count)
+            return RealPairDecodeResult(res.bits, res.sync_corr,
+                                        res.count, res.best_phase, pos,
+                                        ccorr, valid, frames, crc_ok)
         return run
 
     def __call__(self, x, offsets_hz) -> RealPairResult:
