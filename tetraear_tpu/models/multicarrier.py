@@ -276,6 +276,7 @@ class PfbMulticarrierFrontend:
 
         if self.fused:
             from tetraear_tpu.ops import fused
+            from tetraear_tpu.models.realpair import _demod_from_pair
             kernel, gc, rot = fused.pfb_kernel(
                 num_channels, cfg.sample_rate_hz, taps_per_branch=tpb)
             kernel_dev = jax.device_put(kernel)
@@ -283,9 +284,15 @@ class PfbMulticarrierFrontend:
 
             @jax.jit
             def front_fused(x, kern):
-                y = fused.fused_channelize(x, kern, gc, rot_np, decim,
-                                           start_index=0)
-                return _demod_front(y, cfg)
+                # real-pair tail: the 96-channel demod is HBM-bound on
+                # the remote backend; keeping re/im as f32 halves the
+                # traffic, and the gather-free realpair tail is
+                # decision-identical (tests/unit/test_realpair.py)
+                yr, yi = fused.fused_channelize_ri(x, kern, gc, rot_np,
+                                                   decim, start_index=0)
+                res = _demod_from_pair(yr, yi,
+                                       cfg.ref_samples_per_symbol)
+                return res.bits, res.sync_corr, res.count
             return _assemble(lambda x: front_fused(x, kernel_dev))
 
         @jax.jit
