@@ -344,3 +344,52 @@ class TestShardedEtsiDownlink:
             assert sb and sb[0].sync_pdu.mnc == 50 + c
             texts = [f.sds_message for f in pod_frames[c] if f.sds_message]
             assert any(f"POD CELL {c}" in t for t in texts)
+
+
+class TestFusedShardedStep:
+    def test_fused_pod_step_interior_equals_staged(self):
+        """build_sharded_step_fused == build_sharded_step on segment
+        interiors (bits exactly; corr allclose) over the virtual mesh."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from tetraear_tpu.parallel.mesh import (CARRIER_AXIS, TIME_AXIS,
+                                                make_mesh)
+        from tetraear_tpu.parallel.sharded import (build_sharded_step,
+                                                   build_sharded_step_fused,
+                                                   shard_inputs)
+        from tetraear_tpu.config import ReceiverConfig
+        from tetraear_tpu.utils import synth
+
+        cfg = ReceiverConfig()
+        step = cfg.decimation_factor * cfg.ref_samples_per_symbol
+        mesh = make_mesh(carrier=2, time=4)
+        t_local = 160 * step
+        total = 4 * t_local
+        halo = 132 * step
+
+        stream = synth.make_stream_bits(num_frames=10, lead_bits=64,
+                                        seed=2, golden=True)
+        syms = synth.bits_to_symbols(stream)
+        ph = synth.synthesize_symbol_phasors(syms, mapping="ref")
+        iq = synth.upsample_hold(ph, 2.4e6, 2.4e6 / 130.0)
+        x = np.zeros(total, np.complex64)
+        x[: min(len(iq), total)] = iq[:total]
+        offsets = np.array([0.0, 25e3], np.float32)
+
+        xs, offs = shard_inputs(mesh, x, offsets)
+        a = build_sharded_step(mesh, cfg, halo)(xs, offs)
+        b = build_sharded_step_fused(mesh, offsets, cfg, halo)(xs)
+
+        h_bits = 2 * ((halo // cfg.decimation_factor)
+                      // cfg.ref_samples_per_symbol)
+        own_bits = 2 * ((t_local // cfg.decimation_factor)
+                        // cfg.ref_samples_per_symbol)
+        ab = np.asarray(a.bits)
+        bb = np.asarray(b.bits)
+        # signal carrier (index 0): interiors must agree bit-for-bit
+        sl = np.s_[h_bits + 32: h_bits + own_bits - 32]
+        for k in range(4):
+            np.testing.assert_array_equal(ab[0, k][sl], bb[0, k][sl],
+                                          err_msg=f"time shard {k}")
+        np.testing.assert_array_equal(np.asarray(a.best_phase),
+                                      np.asarray(b.best_phase))

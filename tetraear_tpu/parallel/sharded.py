@@ -66,7 +66,51 @@ def _shard_step(x_local: jnp.ndarray, offsets_local: jnp.ndarray,
     y = channelizer.channelize(ext, offsets_local, cfg.sample_rate_hz,
                                decim, taps=taps_d, start_index=global_start)
     y = fir.fir_filter_same(y, taps_c)                          # (Cl, (T+2H)/D)
+    return _shard_demod_tail(y, cfg, halo, t_local)
 
+
+def _shard_step_fused(x_local: jnp.ndarray, kern_local: jnp.ndarray,
+                      rot_local: jnp.ndarray, cfg: ReceiverConfig,
+                      halo: int, gc: int):
+    """Fused-conv variant of _shard_step: the per-carrier modulated
+    composite kernels (ops/fused.py) arrive sharded over the carrier
+    axis as (C_local, 2, 2, L); the residual rotation uses the traced
+    per-carrier cycle counts with global phase (same f32 precision class
+    as the staged mixer's global-start oscillator)."""
+    decim = cfg.decimation_factor
+    sps = cfg.ref_samples_per_symbol
+    t_local = x_local.shape[-1]
+    assert t_local % (decim * sps) == 0 and halo % (decim * sps) == 0
+
+    ext = extend_with_halo(x_local, halo, halo, TIME_AXIS)     # (T+2H,)
+    t_idx = lax.axis_index(TIME_AXIS)
+    global_start = (t_idx.astype(jnp.int32) * t_local - halo)
+
+    c_local, _, _, L = kern_local.shape
+    kernel = kern_local.reshape(2 * c_local, 2, L)
+    n = ext.shape[-1]
+    m_out = n // decim
+    xri = jnp.stack([jnp.real(ext), jnp.imag(ext)])[None]
+    pad_l = L - 1 - gc
+    pad_r = max(0, (m_out - 1) * decim + gc + 1 - n)
+    out = lax.conv_general_dilated(
+        xri, kernel, (decim,), ((pad_l, pad_r),),
+        dimension_numbers=("NCW", "OIW", "NCW"),
+        preferred_element_type=jnp.float32)[0]                 # (2Cl, M)
+    yr, yi = out[0::2], out[1::2]
+    m = jnp.arange(m_out, dtype=jnp.float32)
+    arg = rot_local[:, None] * (global_start.astype(jnp.float32) + gc
+                                + m[None, :] * decim)
+    arg = 2.0 * jnp.pi * (arg - jnp.round(arg))
+    cr, si = jnp.cos(arg), jnp.sin(arg)
+    y = lax.complex(yr * cr + yi * si, yi * cr - yr * si)
+    return _shard_demod_tail(y, cfg, halo, t_local)
+
+
+def _shard_demod_tail(y: jnp.ndarray, cfg: ReceiverConfig, halo: int,
+                      t_local: int):
+    decim = cfg.decimation_factor
+    sps = cfg.ref_samples_per_symbol
     # --- global best-phase: psum per-carrier phase power over time --------
     h_dec = halo // decim
     interior = y[:, h_dec:h_dec + t_local // decim]
@@ -204,6 +248,56 @@ def build_sharded_step(mesh: Mesh, cfg: ReceiverConfig | None = None,
     @jax.jit
     def run(x, offsets):
         return ShardedResult(*fn(x, offsets))
+
+    return run
+
+
+def build_sharded_step_fused(mesh: Mesh, offsets_hz,
+                             cfg: ReceiverConfig | None = None,
+                             halo: int | None = None):
+    """Fused-conv pod step: the MXU-shaped composite kernel per carrier
+    (ops/fused.py), sharded over the carrier axis; interiors equal the
+    staged build_sharded_step (pinned by tests/unit/test_parallel.py).
+    Offsets must be concrete (the kernels are host-built).
+
+    Returns fn(x) with x: (T_total,) complex64."""
+    from tetraear_tpu.ops import fused as fused_ops
+
+    cfg = cfg or ReceiverConfig()
+    step = cfg.decimation_factor * cfg.ref_samples_per_symbol
+    if halo is None:
+        halo = 132 * step
+    assert halo % step == 0
+
+    offs = np.asarray(offsets_hz, np.float64)
+    cutoff = (cfg.channel_bandwidth_hz / 2) / (cfg.intermediate_rate_hz / 2)
+    kernel, gc, rot = fused_ops.fused_kernel(
+        offs, cfg.sample_rate_hz, cfg.decimation_factor,
+        cfg.decim_fir_taps_per_phase, cfg.channel_fir_taps, cutoff)
+    # (2C, 2, L) -> (C, 2, 2, L) so the carrier axis is shardable
+    c = len(offs)
+    kern4 = np.asarray(kernel).reshape(c, 2, 2, kernel.shape[-1])
+    kern_dev = jax.device_put(jnp.asarray(kern4),
+                              NamedSharding(mesh, P(CARRIER_AXIS)))
+    rot_dev = jax.device_put(jnp.asarray(rot, jnp.float32),
+                             NamedSharding(mesh, P(CARRIER_AXIS)))
+
+    fn = jax.shard_map(
+        functools.partial(_shard_step_fused, cfg=cfg, halo=halo, gc=gc),
+        mesh=mesh,
+        in_specs=(P(TIME_AXIS), P(CARRIER_AXIS), P(CARRIER_AXIS)),
+        out_specs=(P(CARRIER_AXIS, TIME_AXIS, None),
+                   P(CARRIER_AXIS, TIME_AXIS, None),
+                   P(CARRIER_AXIS, TIME_AXIS)),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run_inner(x, kern, rot_a):
+        return ShardedResult(*fn(x, kern, rot_a))
+
+    def run(x):
+        return run_inner(x, kern_dev, rot_dev)
 
     return run
 
