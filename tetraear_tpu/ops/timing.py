@@ -46,17 +46,30 @@ def best_phase_pick(x: jnp.ndarray, sps: int, step: int | None = None
     phases = jnp.arange(0, sps, step, dtype=jnp.int32)   # (P,)
 
     # phase p's samples are column p of the (M, sps) reshape — a pad +
-    # reshape + transpose + strided slice, never a gather (large gathers
-    # are pathological on the remote TPU backend, tools/tpu_bisect.py)
+    # free reshape, never a gather or transpose (both are pathological
+    # on the remote TPU backend, tools/tpu_bisect.py).  Zero padding
+    # makes per-phase validity masks redundant for the power SUMS (the
+    # padded samples contribute 0), so the (P, M) mask/power arrays the
+    # old formulation materialized disappear entirely.
     k = jnp.arange(m, dtype=jnp.int32)
     counts = (n - phases) // sps                          # (P,)
-    mask = k[None, :] < counts[:, None]                   # (P, M)
     xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, m * sps - n)])
-    grid = jnp.swapaxes(xp.reshape(x.shape[:-1] + (m, sps)), -1, -2)
-    gathered = grid[..., ::step, :]                       # (..., P, M)
-    power = jnp.abs(gathered) ** 2
-    power = jnp.where(mask, power, 0.0)
-    mean_power = power.sum(axis=-1) / jnp.maximum(counts, 1).astype(power.dtype)
+    grid = xp.reshape(x.shape[:-1] + (m, sps))            # free reshape
+    power_sums = (jnp.abs(grid) ** 2).sum(axis=-2)        # (..., sps)
+    # reference quirk: phase p's count is (n-p)//sps, which can EXCLUDE
+    # up to two real trailing samples (not just the zero padding) — the
+    # floor-difference bounds the invalid region to the grid's last two
+    # rows, so subtract just those where k >= count instead of carrying
+    # a (P, M) mask
+    r0 = max(m - 2, 0)
+    tail_power = jnp.abs(grid[..., r0:, :]) ** 2          # (..., R, sps)
+    k_tail = jnp.arange(r0, m)[:, None]                   # (R, 1)
+    counts_full = (n - jnp.arange(sps)) // sps            # (sps,)
+    invalid = k_tail >= counts_full[None, :]
+    power_sums = power_sums - jnp.sum(
+        jnp.where(invalid, tail_power, 0.0), axis=-2)
+    mean_power = (power_sums[..., ::step]
+                  / jnp.maximum(counts, 1).astype(jnp.float32))
     # phases with zero symbols are skipped by the reference (`continue`)
     mean_power = jnp.where(counts > 0, mean_power, -jnp.inf)
 
@@ -65,7 +78,7 @@ def best_phase_pick(x: jnp.ndarray, sps: int, step: int | None = None
     count = (n - best_phase) // sps
 
     sym = jnp.take_along_axis(
-        gathered, best[..., None, None], axis=-2)[..., 0, :]
+        grid, best_phase[..., None, None], axis=-1)[..., 0]
     sym = jnp.where(k < count[..., None], sym, 0.0 + 0.0j)
     return TimedSymbols(sym.astype(jnp.complex64),
                         count.astype(jnp.int32),
