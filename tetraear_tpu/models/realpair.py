@@ -120,27 +120,25 @@ def _demod_from_pair(yr: jnp.ndarray, yi: jnp.ndarray, sps: int,
     The gather-free timing+demod tail shared by the DDC-bank and PFB
     real-pair frontends (complex equivalent: ops/timing.best_phase_pick +
     ops/dqpsk.demodulate_hard)."""
-    # --- best-phase timing: reshape power sums (no gather) ----------------
+    # --- best-phase timing + symbol pick on ONE free-reshape grid ---------
+    # grid[c, k, p] = y[c, k*sps + p]: a contiguous-prefix reshape, never a
+    # gather, transpose, or strided-slice stack (the old sps-way slice
+    # stack re-materialized the full channel-rate array twice — the
+    # dominant HBM cost of the 96-channel tail, ROUND2.md).  The same grid
+    # feeds the per-phase power sums AND the one-hot symbol extraction.
     m_dec = yr.shape[-1]
     m = m_dec // sps
-    pr = (yr[:, :m * sps] ** 2 + yi[:, :m * sps] ** 2)
-    phase_power = pr.reshape(-1, m, sps).sum(axis=1)      # (C, sps)
+    grid_r = yr[:, :m * sps].reshape(-1, m, sps)          # (C, M, sps)
+    grid_i = yi[:, :m * sps].reshape(-1, m, sps)
+    phase_power = (grid_r ** 2 + grid_i ** 2).sum(axis=1)  # (C, sps)
     best = jnp.argmax(phase_power, axis=-1).astype(jnp.int32)
     count = ((m_dec - best) // sps).astype(jnp.int32)
 
     # extract symbols at the chosen phase: one-hot matmul over the sps axis
     # (gather-free: grid[c, k, p] dotted with onehot(best[c]))
-    m_cap = (m_dec - (sps - 1) - 1) // sps + 1
-    grid_r = yr[:, :m_cap * sps + (sps - 1)]
-    # build (C, m_cap, sps) frames offset by phase p via stacked slices
-    fr = jnp.stack([grid_r[:, p:p + m_cap * sps:sps]
-                    for p in range(sps)], axis=-1)        # (C, m_cap, sps)
-    grid_i = yi[:, :m_cap * sps + (sps - 1)]
-    fi = jnp.stack([grid_i[:, p:p + m_cap * sps:sps]
-                    for p in range(sps)], axis=-1)
     onehot = jax.nn.one_hot(best, sps, dtype=jnp.float32)  # (C, sps)
-    sym_r = jnp.einsum("cmp,cp->cm", fr, onehot)
-    sym_i = jnp.einsum("cmp,cp->cm", fi, onehot)
+    sym_r = jnp.einsum("cmp,cp->cm", grid_r, onehot)
+    sym_i = jnp.einsum("cmp,cp->cm", grid_i, onehot)
 
     # --- differential + sector quantizer (no atan2) -----------------------
     zr = sym_r[:, 1:] * sym_r[:, :-1] + sym_i[:, 1:] * sym_i[:, :-1]

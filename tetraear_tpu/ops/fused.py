@@ -53,7 +53,10 @@ def modulated_kernel(taps: np.ndarray, offsets_hz: np.ndarray,
                      sample_rate_hz: float) -> tuple:
     """(2C, 2, L) real conv kernel K_c[u] = taps[u] e^{+j2pi f_c u / fs},
     reversed for conv_general_dilated's cross-correlation, with output
-    channels ordered [re_0, im_0, re_1, im_1, ...].
+    channels BLOCK-ordered [re_0..re_{C-1}, im_0..im_{C-1}] so the
+    consumers split the conv output with two contiguous slices
+    (out[:C], out[C:]) instead of stride-2 slices — a free split vs a
+    relayout of the full (2C, M) activation on TPU.
 
     Returns (kernel, rotation_cycles) with rotation_cycles[c] = f_c / fs
     (the residual per-output rotation the caller applies)."""
@@ -69,10 +72,10 @@ def modulated_kernel(taps: np.ndarray, offsets_hz: np.ndarray,
     # complex multiply via real conv: out_re = x_re*Kr - x_im*Ki,
     #                                 out_im = x_re*Ki + x_im*Kr
     kernel = np.zeros((2 * C, 2, L), np.float32)
-    kernel[0::2, 0] = kr
-    kernel[0::2, 1] = -ki
-    kernel[1::2, 0] = ki
-    kernel[1::2, 1] = kr
+    kernel[:C, 0] = kr
+    kernel[:C, 1] = -ki
+    kernel[C:, 0] = ki
+    kernel[C:, 1] = kr
     return jnp.asarray(kernel), offs / sample_rate_hz
 
 
@@ -136,7 +139,8 @@ def fused_channelize_ri(x: jnp.ndarray, kernel: jnp.ndarray, gc: int,
         xri, kernel, (decim,), ((pad_l, pad_r),),
         dimension_numbers=("NCW", "OIW", "NCW"),
         preferred_element_type=jnp.float32)[0]               # (2C, M)
-    yr, yi = out[0::2], out[1::2]                            # (C, M)
+    c = out.shape[0] // 2
+    yr, yi = out[:c], out[c:]                                # (C, M)
 
     rot_cycles = np.asarray(rot_cycles, np.float64)
     q = _rotation_period(rot_cycles)
@@ -195,7 +199,8 @@ def fused_channelize(x: jnp.ndarray, kernel: jnp.ndarray, gc: int,
         xri, kernel, (decim,), ((pad_l, pad_r),),
         dimension_numbers=("NCW", "OIW", "NCW"),
         preferred_element_type=jnp.float32)[0]               # (2C, M)
-    y = lax.complex(out[0::2], out[1::2])                    # (C, M)
+    c2 = out.shape[0] // 2
+    y = lax.complex(out[:c2], out[c2:])                      # (C, M)
 
     # residual rotation e^{-j2pi f (s + mD + Gc) / fs} at the LOW rate.
     rot_cycles = np.asarray(rot_cycles, np.float64)

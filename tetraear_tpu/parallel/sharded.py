@@ -87,7 +87,9 @@ def _shard_step_fused(x_local: jnp.ndarray, kern_local: jnp.ndarray,
     global_start = (t_idx.astype(jnp.int32) * t_local - halo)
 
     c_local, _, _, L = kern_local.shape
-    kernel = kern_local.reshape(2 * c_local, 2, L)
+    # block-order the local output channels [re_0..re_Cl, im_0..im_Cl] so
+    # the split below is two contiguous slices (matches ops/fused.py)
+    kernel = jnp.concatenate([kern_local[:, 0], kern_local[:, 1]], axis=0)
     n = ext.shape[-1]
     m_out = n // decim
     xri = jnp.stack([jnp.real(ext), jnp.imag(ext)])[None]
@@ -97,7 +99,7 @@ def _shard_step_fused(x_local: jnp.ndarray, kern_local: jnp.ndarray,
         xri, kernel, (decim,), ((pad_l, pad_r),),
         dimension_numbers=("NCW", "OIW", "NCW"),
         preferred_element_type=jnp.float32)[0]                 # (2Cl, M)
-    yr, yi = out[0::2], out[1::2]
+    yr, yi = out[:c_local], out[c_local:]
     m = jnp.arange(m_out, dtype=jnp.float32)
     arg = rot_local[:, None] * (global_start.astype(jnp.float32) + gc
                                 + m[None, :] * decim)
@@ -274,9 +276,11 @@ def build_sharded_step_fused(mesh: Mesh, offsets_hz,
     kernel, gc, rot = fused_ops.fused_kernel(
         offs, cfg.sample_rate_hz, cfg.decimation_factor,
         cfg.decim_fir_taps_per_phase, cfg.channel_fir_taps, cutoff)
-    # (2C, 2, L) -> (C, 2, 2, L) so the carrier axis is shardable
+    # block-ordered (2C, 2, L) -> (C, 2, 2, L) so the carrier axis is
+    # shardable: kern4[c, 0/1] = the re/im output row of carrier c
     c = len(offs)
-    kern4 = np.asarray(kernel).reshape(c, 2, 2, kernel.shape[-1])
+    kern_np = np.asarray(kernel)
+    kern4 = np.stack([kern_np[:c], kern_np[c:]], axis=1)
     kern_dev = jax.device_put(jnp.asarray(kern4),
                               NamedSharding(mesh, P(CARRIER_AXIS)))
     rot_dev = jax.device_put(jnp.asarray(rot, jnp.float32),
