@@ -189,3 +189,79 @@ class TestFusedDdc:
         g = 20
         scale = np.abs(a[:, g:-g]).mean() + 1e-12
         assert np.abs(a[:, g:-g] - b[:, g:-g]).max() / scale < 2e-3
+
+
+class TestDeferredRotation:
+    """rotate=False + ops/fused.symbol_rotation applied to z must equal the
+    per-sample derotation path exactly at the decision level: |y|^2 timing
+    is rotation-invariant and symbols spaced sps channel samples apart see
+    the residual rotation as one per-carrier constant on z."""
+
+    def test_symbol_rotation_constant_is_exact(self):
+        cfg = ReceiverConfig()
+        offs = np.array([-50e3, -25e3, 0.0, 25e3, 75e3], np.float64)
+        rot_cycles = offs / cfg.sample_rate_hz
+        cd, sd = fused.symbol_rotation(rot_cycles, cfg.decimation_factor,
+                                       cfg.ref_samples_per_symbol)
+        want = np.exp(-2j * np.pi * rot_cycles * cfg.decimation_factor
+                      * cfg.ref_samples_per_symbol)
+        np.testing.assert_allclose(cd, want.real, atol=1e-6)
+        np.testing.assert_allclose(-sd * 1j + cd,
+                                   cd - 1j * sd, atol=0)  # shape/type sanity
+        np.testing.assert_allclose(sd, -want.imag, atol=1e-6)
+
+    def test_deferred_z_rotation_matches_rotated_symbols(self, rng):
+        """Direct algebra check: demod decisions from rotate=False channels
+        + constant z rotation == decisions from the rotated channels."""
+        from tetraear_tpu.models.multicarrier import _demod_front
+        cfg = ReceiverConfig()
+        n = 66_560
+        x = ((rng.standard_normal(n) + 1j * rng.standard_normal(n)) * 0.3
+             ).astype(np.complex64)
+        # grid offsets: both paths are phase-exact (table vs constant), so
+        # disagreement can only be fp ties.  Off-grid offsets are covered
+        # by test_fused_frontend_still_decodes_offgrid instead: there the
+        # OLD path's per-sample f32 rotation accumulates ~1e-4-cycle phase
+        # error by block end while the deferred constant is exact, so
+        # bit-level comparison on pure noise measures the old path's
+        # phase noise, not an equivalence failure.
+        offsets = np.array([-50e3, 0.0, 25e3], np.float64)
+        cutoff = (cfg.channel_bandwidth_hz / 2) / (cfg.intermediate_rate_hz
+                                                   / 2)
+        kernel, gc, rot = fused.fused_kernel(
+            offsets, cfg.sample_rate_hz, cfg.decimation_factor,
+            cfg.decim_fir_taps_per_phase, cfg.channel_fir_taps, cutoff)
+        xj = jnp.asarray(x)
+        y_rot = fused.fused_channelize(xj, kernel, gc, rot,
+                                       cfg.decimation_factor)
+        y_raw = fused.fused_channelize(xj, kernel, gc, rot,
+                                       cfg.decimation_factor, rotate=False)
+        z_rot = fused.symbol_rotation(rot, cfg.decimation_factor,
+                                      cfg.ref_samples_per_symbol)
+        bits_a, corr_a, cnt_a = _demod_front(y_rot, cfg)
+        bits_b, corr_b, cnt_b = _demod_front(y_raw, cfg, z_rot=z_rot)
+        np.testing.assert_array_equal(np.asarray(cnt_a), np.asarray(cnt_b))
+        # random-noise z values land on quantizer boundaries only with
+        # fp-tie probability; demand near-total agreement
+        agree = (np.asarray(bits_a) == np.asarray(bits_b)).mean()
+        assert agree > 0.999, agree
+
+    def test_fused_frontend_still_decodes_offgrid(self):
+        """End-to-end through MulticarrierFrontend(fused=True) with an
+        off-grid carrier (non-periodic rotation): frames must decode."""
+        from tetraear_tpu.models.multicarrier import (MulticarrierDecoder,
+                                                      MulticarrierFrontend)
+        fs = 2.4e6
+        st = synth.make_stream_bits(num_frames=4, lead_bits=64, seed=5,
+                                    golden=True)
+        syms = synth.bits_to_symbols(st)
+        ph = synth.synthesize_symbol_phasors(syms, mapping="ref")
+        iq = synth.upsample_hold(ph, fs, fs / 130.0)
+        t = np.arange(len(iq)) / fs
+        off = 31_250.0                       # NOT on the 25 kHz grid
+        x = (iq * np.exp(2j * np.pi * off * t)).astype(np.complex64)
+        mc = MulticarrierFrontend(fused=True)
+        frames = MulticarrierDecoder(1, auto_decrypt=False).decode(
+            mc(x, np.array([off], np.float32)))[0]
+        texts = {f.get("sds_message") for f in frames}
+        assert "[TXT] HELLO HELLO" in texts

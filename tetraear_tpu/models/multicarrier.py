@@ -74,10 +74,30 @@ def extract_candidates(bits: jnp.ndarray, corr: jnp.ndarray,
     return top_pos.astype(jnp.int32), top_corr, valid, frames.astype(jnp.uint8), crc_ok
 
 
-def _demod_front(y: jnp.ndarray, cfg: ReceiverConfig) -> tuple:
-    """Post-channelizer demod stages: timing -> demod -> sync scores."""
+def _demod_front(y: jnp.ndarray, cfg: ReceiverConfig,
+                 z_rot: tuple | None = None) -> tuple:
+    """Post-channelizer demod stages: timing -> demod -> sync scores.
+
+    z_rot: per-carrier (cos, sin) of the deferred residual rotation
+    (ops/fused.symbol_rotation).  |y|^2 timing is rotation-invariant and
+    the rotation enters z as a per-carrier constant, so callers using
+    fused_channelize(rotate=False) pass it here — one (C, 1) broadcast
+    multiply at symbol rate instead of the (C, M) channel-rate rotation."""
     ts = timing.best_phase_pick(y, cfg.ref_samples_per_symbol)
-    hard = dqpsk.demodulate_hard(ts.symbols, profile="ref")
+    if z_rot is None:
+        hard = dqpsk.demodulate_hard(ts.symbols, profile="ref")
+    else:
+        s = ts.symbols
+        z = s[..., 1:] * jnp.conj(s[..., :-1])
+        rot = jax.lax.complex(jnp.asarray(z_rot[0], jnp.float32),
+                              -jnp.asarray(z_rot[1], jnp.float32))
+        z = z * rot[..., None]
+        zr, zi = jnp.real(z), jnp.imag(z)
+        hard = dqpsk.quantize_z_ref(zr, zi)
+        # best_phase_pick zero-pads past `count`; atan2(0,0)=0 put those
+        # in bin 0 on the legacy path while quantize_z_ref falls through
+        # to 3 — keep the padded bits identical across paths
+        hard = jnp.where((zr == 0) & (zi == 0), jnp.uint8(0), hard)
     bits = dqpsk.symbols_to_bits(hard)
     corr = sync.best_correlation(bits)
     return bits, corr, ts.count
@@ -184,12 +204,16 @@ class MulticarrierFrontend:
             cfg.decim_fir_taps_per_phase, cfg.channel_fir_taps, cutoff)
         kernel_dev = jax.device_put(kernel)
         rot_np = np.asarray(rot_cycles)
+        # rotation deferred to z (per-carrier constant): the (C, M)
+        # channel-rate derotation stage disappears from the program
+        z_rot = fused.symbol_rotation(rot_np, decim,
+                                      cfg.ref_samples_per_symbol)
 
         @jax.jit
         def front(x, kern, start_index):
             y = fused.fused_channelize(x, kern, gc, rot_np, decim,
-                                       start_index)
-            return _demod_front(y, cfg)
+                                       start_index, rotate=False)
+            return _demod_front(y, cfg, z_rot=z_rot)
 
         cand = _candidates_compiled(k, thr)
 
@@ -281,17 +305,23 @@ class PfbMulticarrierFrontend:
                 num_channels, cfg.sample_rate_hz, taps_per_branch=tpb)
             kernel_dev = jax.device_put(kernel)
             rot_np = np.asarray(rot)
+            z_rot = fused.symbol_rotation(rot_np, decim,
+                                          cfg.ref_samples_per_symbol)
 
             @jax.jit
             def front_fused(x, kern):
                 # real-pair tail: the 96-channel demod is HBM-bound on
                 # the remote backend; keeping re/im as f32 halves the
                 # traffic, and the gather-free realpair tail is
-                # decision-identical (tests/unit/test_realpair.py)
+                # decision-identical (tests/unit/test_realpair.py).
+                # rotate=False: derotation deferred to z as a per-channel
+                # constant (ops/fused.symbol_rotation)
                 yr, yi = fused.fused_channelize_ri(x, kern, gc, rot_np,
-                                                   decim, start_index=0)
+                                                   decim, start_index=0,
+                                                   rotate=False)
                 res = _demod_from_pair(yr, yi,
-                                       cfg.ref_samples_per_symbol)
+                                       cfg.ref_samples_per_symbol,
+                                       z_rot=z_rot)
                 return res.bits, res.sync_corr, res.count
             return _assemble(lambda x: front_fused(x, kernel_dev))
 

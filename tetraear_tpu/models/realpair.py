@@ -114,12 +114,18 @@ def _realpair_block(x_ri: jnp.ndarray, table: jnp.ndarray,
 
 
 def _demod_from_pair(yr: jnp.ndarray, yi: jnp.ndarray, sps: int,
-                     k: int = 0, threshold: float = 0.80):
+                     k: int = 0, threshold: float = 0.80,
+                     z_rot: tuple | None = None):
     """Channel-rate (C, M) real/imag pair -> demod/sync[/candidates].
 
     The gather-free timing+demod tail shared by the DDC-bank and PFB
     real-pair frontends (complex equivalent: ops/timing.best_phase_pick +
-    ops/dqpsk.demodulate_hard)."""
+    ops/dqpsk.demodulate_hard).
+
+    z_rot: optional per-carrier (cos, sin) of the deferred residual
+    rotation (ops/fused.symbol_rotation) — applied to z as one (C, 1)
+    broadcast, replacing the full (C, M) rotation stage the caller
+    skipped with fused_channelize_ri(rotate=False)."""
     # --- best-phase timing + symbol pick on ONE free-reshape grid ---------
     # grid[c, k, p] = y[c, k*sps + p]: a contiguous-prefix reshape, never a
     # gather, transpose, or strided-slice stack (the old sps-way slice
@@ -143,6 +149,10 @@ def _demod_from_pair(yr: jnp.ndarray, yi: jnp.ndarray, sps: int,
     # --- differential + sector quantizer (no atan2) -----------------------
     zr = sym_r[:, 1:] * sym_r[:, :-1] + sym_i[:, 1:] * sym_i[:, :-1]
     zi = sym_i[:, 1:] * sym_r[:, :-1] - sym_r[:, 1:] * sym_i[:, :-1]
+    if z_rot is not None:
+        cd = jnp.asarray(z_rot[0], jnp.float32)[:, None]
+        sd = jnp.asarray(z_rot[1], jnp.float32)[:, None]
+        zr, zi = zr * cd + zi * sd, zi * cd - zr * sd
     hard = dqpsk.quantize_z_ref(zr, zi)
     bits = dqpsk.symbols_to_bits(hard)
     corr = sync.best_correlation(bits)

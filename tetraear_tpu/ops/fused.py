@@ -122,13 +122,35 @@ def pfb_kernel(num_channels: int, sample_rate_hz: float,
     return kernel, 0, rot
 
 
+def symbol_rotation(rot_cycles: np.ndarray, decim: int, sps: int) -> tuple:
+    """Per-carrier constant (cos, sin) of Delta_c = 2pi f_c D*sps / fs.
+
+    The residual rotation e^{-j theta_m}, theta_m = 2pi f_c (s+Gc+mD)/fs,
+    is invariant in |y|^2 (so symbol-timing phase power never needs it)
+    and enters the differential product of symbols spaced exactly sps
+    channel samples apart as the CONSTANT e^{-j Delta_c}: z' = z e^{-j
+    (theta_k - theta_{k-1})} with theta_k - theta_{k-1} = 2pi f_c D sps/fs.
+    So the demod path can skip the whole (C, M) channel-rate rotation
+    stage and apply one (C,)-broadcast rotation to z at symbol rate —
+    see fused_channelize(rotate=False) + the z_rot hooks in
+    models/{multicarrier,realpair}."""
+    d = np.asarray(rot_cycles, np.float64) * decim * sps
+    d = 2.0 * np.pi * (d - np.round(d))
+    return np.cos(d).astype(np.float32), np.sin(d).astype(np.float32)
+
+
 def fused_channelize_ri(x: jnp.ndarray, kernel: jnp.ndarray, gc: int,
                         rot_cycles: np.ndarray, decim: int,
-                        start_index=0) -> tuple:
+                        start_index=0, rotate: bool = True) -> tuple:
     """fused_channelize returning a (yr, yi) f32 pair instead of
     complex64 — same values, half the downstream memory traffic (the
     96-channel demod tail is HBM-bound on this backend).  Feed
-    models/realpair._demod_from_pair for a decision-identical tail."""
+    models/realpair._demod_from_pair for a decision-identical tail.
+
+    rotate=False skips the residual per-sample rotation entirely (the
+    conv+split only); pair with symbol_rotation() applied to z in the
+    demod tail — decision-identical, minus ~4 full passes over the
+    (C, M) activations."""
     n = x.shape[-1]
     m_out = -(-n // decim)
     xri = jnp.stack([jnp.real(x), jnp.imag(x)])[None]
@@ -141,6 +163,8 @@ def fused_channelize_ri(x: jnp.ndarray, kernel: jnp.ndarray, gc: int,
         preferred_element_type=jnp.float32)[0]               # (2C, M)
     c = out.shape[0] // 2
     yr, yi = out[:c], out[c:]                                # (C, M)
+    if not rotate:
+        return yr, yi
 
     rot_cycles = np.asarray(rot_cycles, np.float64)
     q = _rotation_period(rot_cycles)
@@ -180,12 +204,16 @@ def _rotation_period(rot_cycles: np.ndarray, max_q: int = 4608) -> int:
 
 def fused_channelize(x: jnp.ndarray, kernel: jnp.ndarray, gc: int,
                      rot_cycles: np.ndarray, decim: int,
-                     start_index=0) -> jnp.ndarray:
+                     start_index=0, rotate: bool = True) -> jnp.ndarray:
     """x: (N,) complex64 -> (C, ceil(N/decim)) complex64 baseband carriers.
 
     Matches ops/channelizer.channelize + ops/fir.fir_filter_same output
     (same grid, same group-delay alignment); `start_index` keeps mixer
     phase continuous across blocks, as the staged path does.
+
+    rotate=False returns the un-derotated channels (conv only); demod
+    consumers apply symbol_rotation() to z instead — see
+    fused_channelize_ri.
     """
     n = x.shape[-1]
     m_out = -(-n // decim)                                   # ceil(N/D)
@@ -201,6 +229,8 @@ def fused_channelize(x: jnp.ndarray, kernel: jnp.ndarray, gc: int,
         preferred_element_type=jnp.float32)[0]               # (2C, M)
     c2 = out.shape[0] // 2
     y = lax.complex(out[:c2], out[c2:])                      # (C, M)
+    if not rotate:
+        return y
 
     # residual rotation e^{-j2pi f (s + mD + Gc) / fs} at the LOW rate.
     rot_cycles = np.asarray(rot_cycles, np.float64)
