@@ -507,10 +507,26 @@ def cmd_decode(args) -> int:
     t0 = time.time()
     samples_total = 0
     # per-stage timing: first chunk carries the XLA compile; steady-state
-    # demod (device) and decode (host) are what scale with capture length
-    t_first = t_demod = t_decode = 0.0
+    # device wait + host decode are what scale with capture length
+    t_first = t_wait = t_decode = 0.0
     n_chunks = 0
+
+    def _fetch_hard(res) -> "np.ndarray":
+        """Materialize the previous chunk's device result (the only
+        blocking D2H of the loop)."""
+        count = int(res.count)
+        if count < 2:
+            return np.array([], dtype=np.uint8)
+        return np.asarray(res.hard_symbols)[:count - 1]
+
     with JsonlFrameRecorder(out_path, include_bits=not args.no_bits) as rec:
+        # software pipeline: dispatch chunk i+1 to the device BEFORE
+        # pulling + host-decoding chunk i, so device compute and host
+        # parsing overlap (JAX dispatch is async; the D2H pull in
+        # _fetch_hard is the only sync point).  Serial measured 20 MS/s
+        # combined vs ~60 MS/s host / ~100 MS/s device individually —
+        # the overlap removes the sum-of-stages penalty.
+        pending = None
         while not source.exhausted:
             samples = source.read_samples(chunk)
             if len(samples) == 0:
@@ -522,19 +538,23 @@ def cmd_decode(args) -> int:
                 import numpy as _np
                 samples = _np.pad(samples, (0, chunk - len(samples)))
             ts = time.time()
-            demod = processor.process(samples)
+            res = processor.process_full(samples)
             t_stage = time.time() - ts
             n_chunks += 1
             if n_chunks == 1:
                 t_first = t_stage
-            else:
-                t_demod += t_stage
-            if demod is None or len(demod) < 255:
+            if pending is None:
+                pending = res
+                continue
+            ts = time.time()
+            demod = _fetch_hard(pending)
+            t_wait += time.time() - ts
+            pending = res
+            if len(demod) < 255:
                 continue
             ts = time.time()
             frames = decoder.decode(demod)
-            if n_chunks > 1:
-                t_decode += time.time() - ts
+            t_decode += time.time() - ts
             for frame in frames:
                 frame_count += 1
                 rec.write(frame)
@@ -544,16 +564,29 @@ def cmd_decode(args) -> int:
                             or frame.get("sds_message", ""))
                     if text and not text.startswith("[BIN"):
                         print(f"[READABLE] Frame {frame_count}: {text[:100]}")
+        if pending is not None:
+            demod = _fetch_hard(pending)
+            if len(demod) >= 255:
+                for frame in decoder.decode(demod):
+                    frame_count += 1
+                    rec.write(frame)
+                    if not frame.get("encrypted", True):
+                        unencrypted += 1
+                        text = (frame.get("decoded_text", "")
+                                or frame.get("sds_message", ""))
+                        if text and not text.startswith("[BIN"):
+                            print(f"[READABLE] Frame {frame_count}: "
+                                  f"{text[:100]}")
     dt = time.time() - t0
     rate = samples_total / max(dt, 1e-9)
     print(f"[DONE] {frame_count} frames ({unencrypted} clear) from "
           f"{samples_total} samples -> {out_path}")
     if n_chunks > 1:
-        steady = (samples_total - chunk) / max(t_demod + t_decode, 1e-9)
-        demod_r = (samples_total - chunk) / max(t_demod, 1e-9)
+        steady = (samples_total - chunk) / max(dt - t_first, 1e-9)
+        wait_r = (samples_total - chunk) / max(t_wait, 1e-9)
         dec_r = (samples_total - chunk) / max(t_decode, 1e-9)
-        print(f"[PERF] {steady / 1e6:.2f} MS/s steady-state "
-              f"(demod {demod_r / 1e6:.1f} MS/s device, decode "
+        print(f"[PERF] {steady / 1e6:.2f} MS/s steady-state pipelined "
+              f"(device wait {wait_r / 1e6:.1f} MS/s, decode "
               f"{dec_r / 1e6:.1f} MS/s host); first chunk incl. compile "
               f"{t_first:.2f}s; total {rate / 1e6:.2f} MS/s")
     else:
@@ -596,7 +629,19 @@ def _decode_multicarrier(args, source) -> int:
     t0 = time.time()
     samples_total = 0
     start_index = 0
+    def _emit(res):
+        nonlocal frame_count
+        for frames in dec.decode(res):
+            for frame in frames:
+                frame_count += 1
+                per_carrier[frame["carrier"]] += 1
+                rec.write(frame)
+
     with JsonlFrameRecorder(out_path, include_bits=not args.no_bits) as rec:
+        # software pipeline: dispatch chunk i+1 before host-decoding chunk
+        # i so device compute overlaps host parsing (dec.decode's
+        # np.asarray pulls are the only sync points)
+        pending = None
         while not source.exhausted:
             samples = source.read_samples(chunk)
             if len(samples) == 0:
@@ -606,11 +651,11 @@ def _decode_multicarrier(args, source) -> int:
                 samples = np.pad(samples, (0, chunk - len(samples)))
             res = mc(samples, offsets, start_index=start_index)
             start_index += chunk
-            for frames in dec.decode(res):
-                for frame in frames:
-                    frame_count += 1
-                    per_carrier[frame["carrier"]] += 1
-                    rec.write(frame)
+            if pending is not None:
+                _emit(pending)
+            pending = res
+        if pending is not None:
+            _emit(pending)
     dt = time.time() - t0
     print(f"[DONE] {frame_count} frames across {args.carriers} carriers "
           f"-> {out_path}")
