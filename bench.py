@@ -41,7 +41,8 @@ WATCHDOG_S = 240.0
 TIER_TIMEOUT_S = 1500.0          # child budget incl. remote compile (~3 min)
 
 # accelerator tiers, best first; each runs in its own process
-TIERS = ("fused", "complex", "pfb", "realpair64", "realpair0", "single")
+TIERS = ("fused", "fused_s2d", "complex", "pfb", "realpair64", "realpair0",
+         "single")
 
 
 def _verified_rate(step_fn, digest_fn, inputs, n: int, iters: int) -> float:
@@ -116,6 +117,16 @@ def _run_tier(tier: str, num_carriers: int, scale: int, iters: int):
         zero = jnp.int32(0)
         rate = _verified_rate(lambda x: fn(x, zero), digest, xs, n, iters)
         return rate, "fused_demod_decode", num_carriers
+    if tier == "fused_s2d":
+        # space-to-depth stride-1 formulation of the same composite conv
+        # (ops/fused.s2d_kernel): decimation folded into the channel dim
+        mc = MulticarrierFrontend(cfg, num_candidates=64, threshold=0.80,
+                                  fused="s2d")
+        fn = mc._compiled_fused(tuple(float(v) for v in offsets))
+        xs = [put_complex(x) for x in xs_np]
+        zero = jnp.int32(0)
+        rate = _verified_rate(lambda x: fn(x, zero), digest, xs, n, iters)
+        return rate, "fused_s2d_demod_decode", num_carriers
     if tier == "complex":
         mc = MulticarrierFrontend(cfg, num_candidates=64, threshold=0.80)
         xs = [put_complex(x) for x in xs_np]
@@ -257,13 +268,14 @@ def main() -> int:
     for t in TIERS if probe_ok else ():
         if hang_seen:
             break             # a hung tier means the tunnel wedged mid-run
-        if results and t not in ("complex", "pfb"):
+        if results and t not in ("fused_s2d", "complex", "pfb"):
             break             # a full-decode tier verified; lower tiers
             # are strictly-worse fallbacks, not extra data
-        if t == "complex" and any(r.get("variant") == "fused_demod_decode"
-                                  for r in results):
-            continue          # fused already proved the full decode; the
-            # staged variant is the same decisions, strictly slower
+        if t == "complex" and any(
+                r.get("variant", "").startswith("fused")
+                for r in results):
+            continue          # a fused tier already proved the full
+            # decode; the staged variant is the same decisions, slower
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--tier", t],
@@ -282,7 +294,7 @@ def main() -> int:
             results.append(res)
             print(f"[bench] tier {t}: {res['sps']:.0f} samples/s on "
                   f"{res['backend']}", file=sys.stderr)
-            if t in ("fused", "complex"):
+            if t in ("fused", "fused_s2d", "complex"):
                 continue              # also measure the 96-channel PFB
             break
         print(f"[bench] tier {t} failed "

@@ -265,3 +265,57 @@ class TestDeferredRotation:
             mc(x, np.array([off], np.float32)))[0]
         texts = {f.get("sds_message") for f in frames}
         assert "[TXT] HELLO HELLO" in texts
+
+
+class TestSpaceToDepth:
+    """fused="s2d": stride-1 space-to-depth formulation of the composite
+    conv (ops/fused.s2d_kernel) — same operator, decimation folded into
+    the channel dim."""
+
+    def test_s2d_conv_matches_strided(self, rng):
+        cfg = ReceiverConfig()
+        n = 40_000
+        x = ((rng.standard_normal(n) + 1j * rng.standard_normal(n)) * 0.3
+             ).astype(np.complex64)
+        offsets = np.array([-50e3, 0.0, 25e3, 31_415.0], np.float64)
+        cutoff = (cfg.channel_bandwidth_hz / 2) / (cfg.intermediate_rate_hz
+                                                   / 2)
+        kernel, gc, rot = fused.fused_kernel(
+            offsets, cfg.sample_rate_hz, cfg.decimation_factor,
+            cfg.decim_fir_taps_per_phase, cfg.channel_fir_taps, cutoff)
+        L = kernel.shape[-1]
+        k2 = fused.s2d_kernel(kernel, cfg.decimation_factor)
+        xj = jnp.asarray(x)
+        a = np.asarray(fused.fused_channelize(
+            xj, kernel, gc, rot, cfg.decimation_factor))
+        b = np.asarray(fused.fused_channelize_s2d(
+            xj, k2, gc, L, rot, cfg.decimation_factor))
+        assert a.shape == b.shape
+        scale = np.abs(a).mean() + 1e-12
+        assert np.abs(a - b).max() / scale < 1e-4
+        # ri (un-derotated) variant
+        yr, yi = fused.fused_channelize_ri(xj, kernel, gc, rot,
+                                           cfg.decimation_factor,
+                                           rotate=False)
+        yr2, yi2 = fused.fused_channelize_s2d_ri(xj, k2, gc, L,
+                                                 cfg.decimation_factor)
+        assert np.abs(np.asarray(yr) - np.asarray(yr2)).max() / scale < 1e-4
+        assert np.abs(np.asarray(yi) - np.asarray(yi2)).max() / scale < 1e-4
+
+    def test_s2d_frontend_decodes(self):
+        from tetraear_tpu.models.multicarrier import (MulticarrierDecoder,
+                                                      MulticarrierFrontend)
+        fs = 2.4e6
+        st = synth.make_stream_bits(num_frames=4, lead_bits=64, seed=7,
+                                    golden=True)
+        syms = synth.bits_to_symbols(st)
+        ph = synth.synthesize_symbol_phasors(syms, mapping="ref")
+        iq = synth.upsample_hold(ph, fs, fs / 130.0)
+        t = np.arange(len(iq)) / fs
+        x = (iq * np.exp(2j * np.pi * 25e3 * t)).astype(np.complex64)
+        offs = np.array([25e3], np.float32)
+        mc = MulticarrierFrontend(fused="s2d")
+        frames = MulticarrierDecoder(1, auto_decrypt=False).decode(
+            mc(x, offs))[0]
+        texts = {f.get("sds_message") for f in frames}
+        assert "[TXT] HELLO HELLO" in texts

@@ -154,11 +154,15 @@ class MulticarrierFrontend:
     FIR with one dense multi-channel convolution (ops/fused.py) — the
     same linear operator, MXU-shaped (2.5x front-end speedup measured on
     the TPU); requires concrete (host) carrier offsets at call time.
+    ``fused="s2d"`` uses the space-to-depth stride-1 formulation of the
+    same conv (ops/fused.s2d_kernel): decimation folded into the channel
+    dimension, candidate for backends where the strided conv underfeeds
+    the MXU.
     """
 
     def __init__(self, config: ReceiverConfig | None = None,
                  num_candidates: int = 64, threshold: float = 0.80,
-                 fused: bool = False):
+                 fused: bool | str = False):
         self.config = config or ReceiverConfig()
         self.num_candidates = num_candidates
         self.threshold = threshold
@@ -202,18 +206,30 @@ class MulticarrierFrontend:
         kernel, gc, rot_cycles = fused.fused_kernel(
             np.asarray(offs_key, np.float64), cfg.sample_rate_hz, decim,
             cfg.decim_fir_taps_per_phase, cfg.channel_fir_taps, cutoff)
-        kernel_dev = jax.device_put(kernel)
         rot_np = np.asarray(rot_cycles)
         # rotation deferred to z (per-carrier constant): the (C, M)
         # channel-rate derotation stage disappears from the program
         z_rot = fused.symbol_rotation(rot_np, decim,
                                       cfg.ref_samples_per_symbol)
 
-        @jax.jit
-        def front(x, kern, start_index):
-            y = fused.fused_channelize(x, kern, gc, rot_np, decim,
-                                       start_index, rotate=False)
-            return _demod_front(y, cfg, z_rot=z_rot)
+        if self.fused == "s2d":
+            L = kernel.shape[-1]
+            kernel_dev = jax.device_put(fused.s2d_kernel(kernel, decim))
+
+            @jax.jit
+            def front(x, kern, start_index):
+                y = fused.fused_channelize_s2d(x, kern, gc, L, rot_np,
+                                               decim, start_index,
+                                               rotate=False)
+                return _demod_front(y, cfg, z_rot=z_rot)
+        else:
+            kernel_dev = jax.device_put(kernel)
+
+            @jax.jit
+            def front(x, kern, start_index):
+                y = fused.fused_channelize(x, kern, gc, rot_np, decim,
+                                           start_index, rotate=False)
+                return _demod_front(y, cfg, z_rot=z_rot)
 
         cand = _candidates_compiled(k, thr)
 

@@ -190,6 +190,97 @@ def fused_channelize_ri(x: jnp.ndarray, kernel: jnp.ndarray, gc: int,
     return yr * cr + yi * si, yi * cr - yr * si
 
 
+def s2d_kernel(kernel: jnp.ndarray, decim: int) -> jnp.ndarray:
+    """Space-to-depth transform of a (2C, 2, L) composite kernel.
+
+    The strided conv  out[c, m] = sum_t K[c, j, t] xpad[j, mD+t]  is,
+    with t = aD + r, a stride-1 conv over W = Np/D positions with 2D
+    input channels:  out[c, m] = sum_{(r,j), a} K2[c, (r,j), a]
+    X2[(r,j), m+a], where X2 is xpad viewed as (W, D, 2) row-major —
+    a FREE reshape of the (N, 2) re/im-interleaved input, no transpose
+    or gather.  This moves the decimation out of the conv stride and
+    into the channel dimension: the implicit GEMM contracts over
+    2D*ceil(L/D) ≈ 2L lanes with a dense stride-1 window, a shape the
+    MXU tiles directly (the stride-D formulation leaves the systolic
+    array underfed on this backend).  Returns (2C, 2D, Lp) with input
+    channel index r*2 + j."""
+    k = np.asarray(kernel)
+    c2, _, L = k.shape
+    lp = -(-L // decim)
+    kp = np.zeros((c2, 2, lp * decim), np.float32)
+    kp[:, :, :L] = k
+    k4 = kp.reshape(c2, 2, lp, decim)          # [c, j, a, r]
+    return jnp.asarray(np.ascontiguousarray(
+        k4.transpose(0, 3, 1, 2)).reshape(c2, 2 * decim, lp))
+
+
+def _s2d_conv(x: jnp.ndarray, kernel_s2d: jnp.ndarray, gc: int, L: int,
+              decim: int) -> jnp.ndarray:
+    """Space-to-depth stride-1 conv shared by the s2d variants.
+
+    x: (N,) complex64 -> (2C, m_out) f32 un-derotated channel pair rows
+    (block order [re.., im..]), numerically the same contraction as the
+    stride-D conv in fused_channelize (summation order differs)."""
+    n = x.shape[-1]
+    m_out = -(-n // decim)
+    lp = kernel_s2d.shape[-1]
+    pad_l = L - 1 - gc
+    total = (m_out + lp - 1) * decim
+    xri = jnp.stack([jnp.real(x), jnp.imag(x)], axis=-1)      # (N, 2)
+    xpad = jnp.pad(xri, ((pad_l, total - pad_l - n), (0, 0)))
+    x2 = xpad.reshape(1, total // decim, 2 * decim)           # (1, W, 2D)
+    out = lax.conv_general_dilated(
+        x2, kernel_s2d, (1,), ((0, 0),),
+        dimension_numbers=("NWC", "OIW", "NCW"),
+        preferred_element_type=jnp.float32)[0]                # (2C, m_out)
+    return out
+
+
+def fused_channelize_s2d(x: jnp.ndarray, kernel_s2d: jnp.ndarray, gc: int,
+                         L: int, rot_cycles: np.ndarray, decim: int,
+                         start_index=0, rotate: bool = True):
+    """fused_channelize via the space-to-depth stride-1 conv: same
+    operator, decimation folded into the channel dim (see s2d_kernel).
+    `L` is the original composite length (pre-padding).  Returns
+    complex (C, M); rotate=False skips the residual derotation
+    (pair with symbol_rotation)."""
+    out = _s2d_conv(x, kernel_s2d, gc, L, decim)
+    c2 = out.shape[0] // 2
+    y = lax.complex(out[:c2], out[c2:])
+    if not rotate:
+        return y
+    n = x.shape[-1]
+    m_out = -(-n // decim)
+    rot_cycles = np.asarray(rot_cycles, np.float64)
+    q = _rotation_period(rot_cycles)
+    m = jnp.arange(m_out, dtype=jnp.int32)
+    if q:
+        import math
+        ph = np.exp(-2j * np.pi * rot_cycles[:, None]
+                    * np.arange(q)[None, :]).astype(np.complex64)
+        p = q // math.gcd(decim % q or q, q)
+        m0 = jnp.arange(p, dtype=jnp.int32)
+        idx0 = (jnp.asarray(start_index, jnp.int32) + gc + m0 * decim) % q
+        base = jnp.asarray(ph)[:, idx0]
+        reps = -(-m_out // p)
+        rot = jnp.tile(base, (1, reps))[:, :m_out]
+    else:
+        arg = jnp.asarray(rot_cycles, jnp.float32)[:, None] * (
+            jnp.asarray(start_index, jnp.float32) + gc
+            + m[None, :].astype(jnp.float32) * decim)
+        rot = jnp.exp(-2j * jnp.pi * (arg - jnp.round(arg)))
+    return (y * rot).astype(jnp.complex64)
+
+
+def fused_channelize_s2d_ri(x: jnp.ndarray, kernel_s2d: jnp.ndarray,
+                            gc: int, L: int, decim: int) -> tuple:
+    """(yr, yi) un-derotated pair via the space-to-depth conv — the
+    realpair-tail feed (pair with symbol_rotation for the z constant)."""
+    out = _s2d_conv(x, kernel_s2d, gc, L, decim)
+    c2 = out.shape[0] // 2
+    return out[:c2], out[c2:]
+
+
 def _rotation_period(rot_cycles: np.ndarray, max_q: int = 4608) -> int:
     """Smallest Q with every f_c*Q/fs an integer (0 if none <= max_q).
 
