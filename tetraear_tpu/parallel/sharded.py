@@ -100,17 +100,20 @@ def _shard_step_fused(x_local: jnp.ndarray, kern_local: jnp.ndarray,
         dimension_numbers=("NCW", "OIW", "NCW"),
         preferred_element_type=jnp.float32)[0]                 # (2Cl, M)
     yr, yi = out[:c_local], out[c_local:]
-    m = jnp.arange(m_out, dtype=jnp.float32)
-    arg = rot_local[:, None] * (global_start.astype(jnp.float32) + gc
-                                + m[None, :] * decim)
-    arg = 2.0 * jnp.pi * (arg - jnp.round(arg))
-    cr, si = jnp.cos(arg), jnp.sin(arg)
-    y = lax.complex(yr * cr + yi * si, yi * cr - yr * si)
-    return _shard_demod_tail(y, cfg, halo, t_local)
+    # deferred derotation (ops/fused.symbol_rotation rationale): |y|^2
+    # timing is rotation-invariant and symbols spaced sps channel samples
+    # apart see the residual rotation as ONE constant per carrier on z —
+    # so the (Cl, M) cos/sin stage disappears; global_start drops out of
+    # the differential entirely (phase differences only)
+    d = rot_local * jnp.float32(decim * sps)
+    d = 2.0 * jnp.pi * (d - jnp.round(d))
+    y = lax.complex(yr, yi)
+    return _shard_demod_tail(y, cfg, halo, t_local,
+                             z_rot=(jnp.cos(d), jnp.sin(d)))
 
 
 def _shard_demod_tail(y: jnp.ndarray, cfg: ReceiverConfig, halo: int,
-                      t_local: int):
+                      t_local: int, z_rot: tuple | None = None):
     decim = cfg.decimation_factor
     sps = cfg.ref_samples_per_symbol
     # --- global best-phase: psum per-carrier phase power over time --------
@@ -134,7 +137,18 @@ def _shard_demod_tail(y: jnp.ndarray, cfg: ReceiverConfig, halo: int,
     # carry_last additionally wires exact symbol state for pipeline modes.
     prev = carry_last(symbols, TIME_AXIS)                       # (Cl,)
     seeded = jnp.concatenate([prev[:, None], symbols], axis=-1)
-    hard_all = dqpsk.demodulate_hard(seeded, profile="ref")     # (Cl, M_ext)
+    if z_rot is None:
+        hard_all = dqpsk.demodulate_hard(seeded, profile="ref")  # (Cl, M_ext)
+    else:
+        # deferred derotation: constant per-carrier phase on z (see
+        # _shard_step_fused); zero-seed z quantizes to bin 0 as the
+        # atan2 path did (matches models/multicarrier._demod_front)
+        z = seeded[:, 1:] * jnp.conj(seeded[:, :-1])
+        z = z * lax.complex(z_rot[0], -z_rot[1])[:, None]
+        zr, zi = jnp.real(z), jnp.imag(z)
+        hard_all = dqpsk.quantize_z_ref(zr, zi)
+        hard_all = jnp.where((zr == 0) & (zi == 0), jnp.uint8(0),
+                             hard_all)
     hard = hard_all[:, 1:]                                      # drop seed diff
     bits = dqpsk.symbols_to_bits(hard)                          # (Cl, 2*(M_ext-1))
     corr = sync.best_correlation(bits)
