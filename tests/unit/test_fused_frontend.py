@@ -319,3 +319,23 @@ class TestSpaceToDepth:
             mc(x, offs))[0]
         texts = {f.get("sds_message") for f in frames}
         assert "[TXT] HELLO HELLO" in texts
+
+    def test_s2d_pfb_kernel_exact(self, rng):
+        """PFB composite (gc=0: pad_l + n exceeds the naive s2d window —
+        the regression that required output slicing) must match the
+        strided conv exactly."""
+        cfg = ReceiverConfig()
+        n = 96 * 500
+        x = ((rng.standard_normal(n) + 1j * rng.standard_normal(n)) * 0.3
+             ).astype(np.complex64)
+        kernel, gc, rot = fused.pfb_kernel(96, cfg.sample_rate_hz)
+        L = kernel.shape[-1]
+        k2 = fused.s2d_kernel(kernel, cfg.decimation_factor)
+        xj = jnp.asarray(x)
+        a = np.asarray(fused.fused_channelize(
+            xj, kernel, gc, rot, cfg.decimation_factor))
+        b = np.asarray(fused.fused_channelize_s2d(
+            xj, k2, gc, L, rot, cfg.decimation_factor))
+        assert a.shape == b.shape
+        scale = np.abs(a).mean() + 1e-12
+        assert np.abs(a - b).max() / scale < 1e-5

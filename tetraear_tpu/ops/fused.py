@@ -225,15 +225,20 @@ def _s2d_conv(x: jnp.ndarray, kernel_s2d: jnp.ndarray, gc: int, L: int,
     m_out = -(-n // decim)
     lp = kernel_s2d.shape[-1]
     pad_l = L - 1 - gc
-    total = (m_out + lp - 1) * decim
+    # cover both the conv's read window and the left-padded input (for
+    # short composite delays, e.g. the PFB's gc=0, pad_l + n can exceed
+    # (m_out + lp - 1) * D); any surplus rows produce extra outputs that
+    # are sliced off below
+    total = max((m_out + lp - 1) * decim,
+                -(-(pad_l + n) // decim) * decim)
     xri = jnp.stack([jnp.real(x), jnp.imag(x)], axis=-1)      # (N, 2)
     xpad = jnp.pad(xri, ((pad_l, total - pad_l - n), (0, 0)))
     x2 = xpad.reshape(1, total // decim, 2 * decim)           # (1, W, 2D)
     out = lax.conv_general_dilated(
         x2, kernel_s2d, (1,), ((0, 0),),
         dimension_numbers=("NWC", "OIW", "NCW"),
-        preferred_element_type=jnp.float32)[0]                # (2C, m_out)
-    return out
+        preferred_element_type=jnp.float32)[0]                # (2C, >=m_out)
+    return out[:, :m_out]
 
 
 def fused_channelize_s2d(x: jnp.ndarray, kernel_s2d: jnp.ndarray, gc: int,

@@ -1,0 +1,183 @@
+#!/usr/bin/env python3
+"""Head-to-head device timing of channelizer-conv formulations.
+
+Each probe is one jitted program timed with sync-verified digest pulls
+(utils/backend.pull_with_watchdog) at bench scale; the parent runs every
+probe in its own child process so one backend failure cannot poison the
+rest (CLAUDE.md rule 2).  Run in a healthy window (tools/tpu_health.py).
+
+Probes:
+  fused16        strided composite conv, 16 carriers (ops/fused.fused_channelize rotate=False)
+  s2d16          space-to-depth stride-1 conv, 16 carriers (ops/fused.s2d_kernel)
+  pfb96          strided modulated-conv PFB, 96 channels
+  pfb96_s2d      space-to-depth PFB, 96 channels
+  tail16 / tail96  deferred-rotation realpair demod tail alone on a (C, M) pair
+  front16 / front96  conv + tail as dispatched (what bench tiers time, minus candidates)
+
+Usage: python tools/tpu_conv_probe.py [--scale 8] [--iters 4] [--probe NAME]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np  # noqa: E402
+
+PROBES = ("fused16", "s2d16", "pfb96", "pfb96_s2d", "tail16", "tail96",
+          "front16", "front96")
+
+
+def _build(probe: str, scale: int):
+    """-> (fn, args, n_samples): one jitted program + device inputs."""
+    import jax
+    import jax.numpy as jnp
+
+    from tetraear_tpu.config import ReceiverConfig
+    from tetraear_tpu.models.realpair import _demod_from_pair
+    from tetraear_tpu.ops import fused
+    from tetraear_tpu.utils.backend import put_complex
+
+    cfg = ReceiverConfig()
+    step = cfg.decimation_factor * cfg.ref_samples_per_symbol
+    n = (8000 * step * scale // 96) * 96
+    decim = cfg.decimation_factor
+    sps = cfg.ref_samples_per_symbol
+    cutoff = (cfg.channel_bandwidth_hz / 2) / (cfg.intermediate_rate_hz / 2)
+    rng = np.random.default_rng(0)
+    x = put_complex(((rng.standard_normal(n) + 1j * rng.standard_normal(n))
+                     * 0.1).astype(np.complex64))
+
+    if probe.endswith("16") and not probe.startswith("pfb"):
+        offs = ((np.arange(16) - 8) * 25e3).astype(np.float64)
+        kernel, gc, rot = fused.fused_kernel(
+            offs, cfg.sample_rate_hz, decim, cfg.decim_fir_taps_per_phase,
+            cfg.channel_fir_taps, cutoff)
+    else:
+        kernel, gc, rot = fused.pfb_kernel(96, cfg.sample_rate_hz)
+    L = kernel.shape[-1]
+    z_rot = fused.symbol_rotation(np.asarray(rot), decim, sps)
+
+    if probe in ("fused16", "pfb96"):
+        kd = jax.device_put(kernel)
+
+        @jax.jit
+        def fn(xc, k):
+            yr, yi = fused.fused_channelize_ri(xc, k, gc, rot, decim,
+                                               rotate=False)
+            return jnp.sum(yr) + jnp.sum(yi)
+        return (lambda: fn(x, kd)), n
+
+    if probe in ("s2d16", "pfb96_s2d"):
+        kd = jax.device_put(fused.s2d_kernel(kernel, decim))
+
+        @jax.jit
+        def fn(xc, k):
+            yr, yi = fused.fused_channelize_s2d_ri(xc, k, gc, L, decim)
+            return jnp.sum(yr) + jnp.sum(yi)
+        return (lambda: fn(x, kd)), n
+
+    if probe in ("tail16", "tail96"):
+        c = 16 if probe == "tail16" else 96
+        m = n // decim
+        yr = jax.device_put(jnp.asarray(
+            (rng.standard_normal((c, m)) * 0.1).astype(np.float32)))
+        yi = jax.device_put(jnp.asarray(
+            (rng.standard_normal((c, m)) * 0.1).astype(np.float32)))
+        zr = fused.symbol_rotation(np.asarray(rot)[:c], decim, sps)
+
+        @jax.jit
+        def fn(a, b):
+            res = _demod_from_pair(a, b, sps, z_rot=zr)
+            return jnp.sum(res.sync_corr) + res.count.sum().astype(
+                jnp.float32)
+        return (lambda: fn(yr, yi)), n
+
+    if probe in ("front16", "front96"):
+        kd = jax.device_put(kernel)
+
+        @jax.jit
+        def fn(xc, k):
+            yr, yi = fused.fused_channelize_ri(xc, k, gc, rot, decim,
+                                               rotate=False)
+            res = _demod_from_pair(yr, yi, sps, z_rot=z_rot)
+            return jnp.sum(res.sync_corr) + res.count.sum().astype(
+                jnp.float32)
+        return (lambda: fn(x, kd)), n
+
+    raise ValueError(probe)
+
+
+def _run_probe(probe: str, scale: int, iters: int, budget: float) -> dict:
+    import jax
+    from tetraear_tpu.utils.backend import pull_with_watchdog
+
+    fn, n = _build(probe, scale)
+    pull_with_watchdog(lambda: float(np.asarray(fn())), timeout_s=budget,
+                       what=probe)                       # compile + sync
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(iters):
+        out = fn()
+    v = pull_with_watchdog(lambda: float(np.asarray(out)),
+                           timeout_s=budget, what=probe)
+    dt = (time.perf_counter() - t0) / iters
+    return {"ok": True, "probe": probe, "ms_per_block": round(dt * 1e3, 2),
+            "ms_per_s": round(n / dt / 1e6, 1), "digest": v,
+            "backend": jax.default_backend(), "n": n}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--budget", type=float, default=240.0)
+    ap.add_argument("--probe", choices=PROBES)
+    ap.add_argument("--child-timeout", type=float, default=600.0)
+    args = ap.parse_args()
+
+    if args.probe:
+        try:
+            print(json.dumps(_run_probe(args.probe, args.scale, args.iters,
+                                        args.budget)))
+            sys.stdout.flush()
+            os._exit(0)
+        except Exception as e:
+            print(json.dumps({"ok": False, "probe": args.probe,
+                              "err": f"{type(e).__name__}: {str(e)[:140]}"}))
+            sys.stdout.flush()
+            os._exit(1)
+
+    for p in PROBES:
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--probe", p,
+                 "--scale", str(args.scale), "--iters", str(args.iters)],
+                capture_output=True, text=True, timeout=args.child_timeout)
+            line = (proc.stdout.strip().splitlines() or ["{}"])[-1]
+            res = json.loads(line)
+        except subprocess.TimeoutExpired:
+            print(f"{p:12s} HANG (> {args.child_timeout:.0f}s) — tunnel "
+                  "wedged, stopping", flush=True)
+            return 1
+        except (ValueError, json.JSONDecodeError):
+            print(f"{p:12s} no result", flush=True)
+            continue
+        if res.get("ok"):
+            print(f"{p:12s} {res['ms_per_block']:8.2f} ms/blk  "
+                  f"{res['ms_per_s']:7.1f} MS/s  [{res['backend']}]",
+                  flush=True)
+        else:
+            print(f"{p:12s} FAIL {res.get('err', '?')[:80]}", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
