@@ -247,7 +247,14 @@ def main() -> int:
         sys.stdout.flush()
         os._exit(0)
 
-    # parent: quick f32 probe first — on a wedged tunnel every tier child
+    # parent: serialize against other measurement jobs (bench_watch,
+    # tools/tpu_conv_probe.py) — concurrent users of the single tunneled
+    # chip read each other's latency as hangs
+    from tetraear_tpu.utils.backend import device_measure_lock
+    lock = device_measure_lock()
+    lock.__enter__()
+
+    # quick f32 probe first — on a wedged tunnel every tier child
     # would burn its full budget, so classify once and go straight to CPU
     probe = ("import numpy as np, jax, jax.numpy as jnp;"
              "x = jnp.asarray(np.ones(260_000, np.float32));"

@@ -253,3 +253,39 @@ def run_with_cpu_fallback(fn, *args, **kwargs):
         jax.config.update("jax_default_device", jax.devices("cpu")[0])
         jax.clear_caches()
         return fn(*args, **kwargs)
+
+
+def device_measure_lock(timeout_s: float = 3600.0,
+                        path: str = "/tmp/tetraear_tpu_device.lock"):
+    """Cross-process exclusive lock for device MEASUREMENT jobs.
+
+    The remote TPU is a single tunneled chip: two concurrent measurement
+    processes (bench.py, tools/tpu_conv_probe.py, the bench_watch loop)
+    contend on it and each sees the other's latency as an "accelerator
+    hang" — observed live: probe children timing out exactly while a
+    watcher bench was running.  Every measurement *parent* takes this
+    lock; children spawned by a holder must not (they inherit the
+    serialization).  Usage: ``with device_measure_lock(): ...``."""
+    import contextlib
+    import fcntl
+
+    @contextlib.contextmanager
+    def _lock():
+        f = open(path, "a+")
+        t0 = time.time()
+        while True:
+            try:
+                fcntl.flock(f, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                break
+            except OSError:
+                if time.time() - t0 > timeout_s:
+                    f.close()
+                    raise TimeoutError(
+                        f"device lock {path} held > {timeout_s:.0f}s")
+                time.sleep(5.0)
+        try:
+            yield
+        finally:
+            fcntl.flock(f, fcntl.LOCK_UN)
+            f.close()
+    return _lock()

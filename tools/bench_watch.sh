@@ -11,7 +11,11 @@ cd "$(dirname "$0")/.."
 mkdir -p logs/bench_watch
 while true; do
   ts=$(date +%Y%m%d_%H%M%S)
-  if timeout 90 python - >"logs/bench_watch/probe_$ts.txt" 2>&1 <<'EOF'
+  # the probe holds the shared device lock so it never runs concurrently
+  # with a bench/probe job (concurrency reads as a hang); bench.py takes
+  # the same lock itself
+  if flock -w 3600 /tmp/tetraear_tpu_device.lock \
+       timeout 90 python - >"logs/bench_watch/probe_$ts.txt" 2>&1 <<'EOF'
 import numpy as np, jax, jax.numpy as jnp
 x = jnp.asarray(np.arange(260_000, dtype=np.float32))
 print("DIGEST", float(np.asarray(jnp.sum(x + 1.0).astype(jnp.float32))))

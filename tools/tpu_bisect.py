@@ -33,7 +33,12 @@ def main() -> int:
 
     from tetraear_tpu.config import ReceiverConfig
     from tetraear_tpu.ops import ddc, dqpsk, fir, sync, timing
-    from tetraear_tpu.utils.backend import pull_with_watchdog
+    from tetraear_tpu.utils.backend import (device_measure_lock,
+                                            pull_with_watchdog)
+
+    # serialize against bench.py / bench_watch (single tunneled chip)
+    _lock = device_measure_lock()
+    _lock.__enter__()
 
     cfg = ReceiverConfig()
     decim = cfg.decimation_factor

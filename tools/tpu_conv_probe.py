@@ -155,6 +155,11 @@ def main() -> int:
             sys.stdout.flush()
             os._exit(1)
 
+    # serialize against bench.py / bench_watch on the single tunneled chip
+    from tetraear_tpu.utils.backend import device_measure_lock
+    lock = device_measure_lock()
+    lock.__enter__()
+
     for p in PROBES:
         try:
             proc = subprocess.run(

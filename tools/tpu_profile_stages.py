@@ -32,6 +32,10 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
+    # serialize against bench.py / bench_watch (single tunneled chip)
+    from tetraear_tpu.utils.backend import device_measure_lock
+    _lock = device_measure_lock(); _lock.__enter__()
+
     from tetraear_tpu.config import ReceiverConfig
     from tetraear_tpu.ops import ddc, dqpsk, fir, sync, timing
     from tetraear_tpu.ops import channelizer
