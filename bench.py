@@ -217,10 +217,14 @@ def main() -> int:
 
     if tier is not None:
         # child mode: one tier, one process (failures cannot poison the
-        # other tiers), one JSON line up to the parent
+        # other tiers), one JSON line up to the parent.  The lock no-ops
+        # when the parent already holds it; a hand-run --tier serializes
+        # itself against other measurement jobs.
         import jax
+        from tetraear_tpu.utils.backend import device_measure_lock
         try:
-            sps, variant, carriers = _run_tier(tier, **kw)
+            with device_measure_lock():
+                sps, variant, carriers = _run_tier(tier, **kw)
             print(json.dumps({"ok": True, "sps": sps, "variant": variant,
                               "carriers": carriers,
                               "backend": jax.default_backend()}))

@@ -264,13 +264,19 @@ def device_measure_lock(timeout_s: float = 3600.0,
     contend on it and each sees the other's latency as an "accelerator
     hang" — observed live: probe children timing out exactly while a
     watcher bench was running.  Every measurement *parent* takes this
-    lock; children spawned by a holder must not (they inherit the
-    serialization).  Usage: ``with device_measure_lock(): ...``."""
+    lock; children spawned by a holder must not re-acquire it (they
+    inherit the serialization) — holders export TETRAEAR_DEVLOCK_HELD=1
+    and the lock no-ops under it, so a child invoked directly (e.g. a
+    hand-run ``--probe``/``--tier``) still serializes itself.
+    Usage: ``with device_measure_lock(): ...``."""
     import contextlib
     import fcntl
 
     @contextlib.contextmanager
     def _lock():
+        if os.environ.get("TETRAEAR_DEVLOCK_HELD") == "1":
+            yield
+            return
         f = open(path, "a+")
         t0 = time.time()
         while True:
@@ -283,9 +289,11 @@ def device_measure_lock(timeout_s: float = 3600.0,
                     raise TimeoutError(
                         f"device lock {path} held > {timeout_s:.0f}s")
                 time.sleep(5.0)
+        os.environ["TETRAEAR_DEVLOCK_HELD"] = "1"
         try:
             yield
         finally:
+            os.environ.pop("TETRAEAR_DEVLOCK_HELD", None)
             fcntl.flock(f, fcntl.LOCK_UN)
             f.close()
     return _lock()

@@ -31,8 +31,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import numpy as np  # noqa: E402
 
-PROBES = ("fused16", "s2d16", "pfb96", "pfb96_s2d", "tail16", "tail96",
-          "front16", "front96")
+PROBES = ("fused16", "s2d16", "s2d16_bf16", "pfb96", "pfb96_s2d",
+          "pfb96_s2d_bf16", "tail16", "tail96", "cand16", "cand96",
+          "front16_s2d", "front96_s2d")
 
 
 def _build(probe: str, scale: int):
@@ -84,6 +85,67 @@ def _build(probe: str, scale: int):
             return jnp.sum(yr) + jnp.sum(yi)
         return (lambda: fn(x, kd)), n
 
+    if probe in ("s2d16_bf16", "pfb96_s2d_bf16"):
+        # bf16 inputs/weights, f32 accumulation: 2x MXU rate + half the
+        # HBM traffic.  Accuracy probe only — NOT a default path until
+        # decision-level impact is measured under the SNR regression.
+        kd = jax.device_put(fused.s2d_kernel(kernel, decim)
+                            .astype(jnp.bfloat16))
+
+        @jax.jit
+        def fn(xc, k):
+            xb = xc.astype(jnp.bfloat16)
+            lp = k.shape[-1]
+            n_in = xb.shape[-1]
+            m_out = -(-n_in // decim)
+            pad_l = L - 1 - gc
+            total = max((m_out + lp - 1) * decim,
+                        -(-(pad_l + n_in) // decim) * decim)
+            xri = jnp.stack([jnp.real(xc).astype(jnp.bfloat16),
+                             jnp.imag(xc).astype(jnp.bfloat16)], axis=-1)
+            xpad = jnp.pad(xri, ((pad_l, total - pad_l - n_in), (0, 0)))
+            x2 = xpad.reshape(1, total // decim, 2 * decim)
+            out = jax.lax.conv_general_dilated(
+                x2, k, (1,), ((0, 0),),
+                dimension_numbers=("NWC", "OIW", "NCW"),
+                preferred_element_type=jnp.float32)[0][:, :m_out]
+            return jnp.sum(out)
+        return (lambda: fn(x, kd)), n
+
+    if probe in ("cand16", "cand96"):
+        # the candidates+CRC program alone (the third dispatched stage)
+        from tetraear_tpu.models.multicarrier import _candidates_compiled
+        c = 16 if probe == "cand16" else 96
+        m = n // decim // sps
+        b = 2 * (m - 1)
+        bits = jax.device_put(jnp.asarray(
+            rng.integers(0, 2, (c, b)).astype(np.uint8)))
+        corr = jax.device_put(jnp.asarray(
+            (rng.random((c, b - 21)) * 0.9).astype(np.float32)))
+        count = jax.device_put(jnp.asarray(
+            np.full(c, m, np.int32)))
+        cand = _candidates_compiled(64, 0.80)
+
+        @jax.jit
+        def digestc(pos, ccorr, valid, frames, crc_ok):
+            return (jnp.sum(ccorr) + jnp.sum(crc_ok.astype(jnp.float32))
+                    + jnp.sum(valid.astype(jnp.float32)))
+
+        def fn():
+            return digestc(*cand(bits, corr, count))
+        return fn, n
+
+    if probe in ("front16_s2d", "front96_s2d"):
+        kd = jax.device_put(fused.s2d_kernel(kernel, decim))
+
+        @jax.jit
+        def fn(xc, k):
+            yr, yi = fused.fused_channelize_s2d_ri(xc, k, gc, L, decim)
+            res = _demod_from_pair(yr, yi, sps, z_rot=z_rot)
+            return jnp.sum(res.sync_corr) + res.count.sum().astype(
+                jnp.float32)
+        return (lambda: fn(x, kd)), n
+
     if probe in ("tail16", "tail96"):
         c = 16 if probe == "tail16" else 96
         m = n // decim
@@ -99,18 +161,6 @@ def _build(probe: str, scale: int):
             return jnp.sum(res.sync_corr) + res.count.sum().astype(
                 jnp.float32)
         return (lambda: fn(yr, yi)), n
-
-    if probe in ("front16", "front96"):
-        kd = jax.device_put(kernel)
-
-        @jax.jit
-        def fn(xc, k):
-            yr, yi = fused.fused_channelize_ri(xc, k, gc, rot, decim,
-                                               rotate=False)
-            res = _demod_from_pair(yr, yi, sps, z_rot=z_rot)
-            return jnp.sum(res.sync_corr) + res.count.sum().astype(
-                jnp.float32)
-        return (lambda: fn(x, kd)), n
 
     raise ValueError(probe)
 
@@ -145,8 +195,12 @@ def main() -> int:
 
     if args.probe:
         try:
-            print(json.dumps(_run_probe(args.probe, args.scale, args.iters,
-                                        args.budget)))
+            # no-ops when a lock-holding parent spawned us; serializes a
+            # hand-run --probe against other measurement jobs
+            from tetraear_tpu.utils.backend import device_measure_lock
+            with device_measure_lock():
+                print(json.dumps(_run_probe(args.probe, args.scale,
+                                            args.iters, args.budget)))
             sys.stdout.flush()
             os._exit(0)
         except Exception as e:
