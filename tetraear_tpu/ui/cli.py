@@ -605,9 +605,10 @@ def _decode_multicarrier(args, source) -> int:
                                                   MulticarrierFrontend)
     from tetraear_tpu.ops.channelizer import carrier_grid
 
-    # fused dense-conv front-ends on accelerators (2.5x, decision-
-    # identical on the 25 kHz grid); staged chains on CPU where the dense
-    # kernel's extra FLOPs would lose
+    # fused dense-conv front-ends on accelerators (decision-identical on
+    # the 25 kHz grid); the space-to-depth formulation measured 245 MS/s
+    # conv-stage vs ~100 MS/s strided (tools/tpu_conv_probe.py).  Staged
+    # chains on CPU where the dense kernel's extra FLOPs would lose.
     import jax
     accel = jax.default_backend() != "cpu"
     if getattr(args, "pfb", False):
@@ -618,7 +619,7 @@ def _decode_multicarrier(args, source) -> int:
         offsets = pfb_fe.channel_offsets_hz()
         mc = lambda samples, offs, start_index=0: pfb_fe(samples)  # noqa: E731
     else:
-        mc = MulticarrierFrontend(fused=accel)
+        mc = MulticarrierFrontend(fused="s2d" if accel else False)
         offsets = carrier_grid(args.carriers)
     dec = MulticarrierDecoder(args.carriers, auto_decrypt=args.auto_decrypt)
     out_path = args.out_jsonl or (str(Path(args.iq_file).with_suffix(""))
