@@ -38,7 +38,8 @@ import numpy as np
 
 BASELINE_SPS = 2.4e6
 WATCHDOG_S = 240.0
-TIER_TIMEOUT_S = 1500.0          # child budget incl. remote compile (~3 min)
+TIER_TIMEOUT_S = 900.0           # child budget incl. remote compile (~3 min);
+# bounded so a hung tier cannot eat the whole bench window
 
 # accelerator tiers, best first; each runs in its own process.  s2d
 # leads: first healthy-window head-to-head measured the space-to-depth
@@ -286,11 +287,13 @@ def main() -> int:
         if results and t not in ("fused", "fused_s2d", "complex", "pfb"):
             break             # a full-decode tier verified; lower tiers
             # are strictly-worse fallbacks, not extra data
-        if t == "complex" and any(
+        if t in ("fused", "complex") and any(
                 r.get("variant", "").startswith("fused")
                 for r in results):
             continue          # a fused tier already proved the full
-            # decode; the staged variant is the same decisions, slower
+            # decode; the strided/staged variants are the same decisions,
+            # strictly slower (and the strided conv has been observed to
+            # hang its child on this backend since the kernel reorder)
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--tier", t],

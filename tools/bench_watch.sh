@@ -24,7 +24,7 @@ EOF
     if grep -q DIGEST "logs/bench_watch/probe_$ts.txt"; then
       echo "[watch] $ts healthy window — running bench" \
         >> logs/bench_watch/watch.log
-      timeout 1200 python bench.py > "logs/bench_watch/bench_$ts.json" 2> \
+      timeout 3600 python bench.py > "logs/bench_watch/bench_$ts.json" 2> \
         "logs/bench_watch/bench_$ts.err"
       echo "[watch] $ts bench rc=$? $(tail -c 300 logs/bench_watch/bench_$ts.json)" \
         >> logs/bench_watch/watch.log
