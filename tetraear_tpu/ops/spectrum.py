@@ -121,3 +121,58 @@ def parabolic_peak(power_db: np.ndarray, freqs: np.ndarray,
             step = float((x3 - x1) / 2.0) if x3 != x1 else float(x3 - x2)
             return float(x2 + delta * step)
     return float(freqs[i])
+
+
+def estimate_grid_offset_hz(x: np.ndarray, sample_rate_hz: float,
+                            spacing_hz: float = 25e3,
+                            n_fft: int = 4096,
+                            gate_db: float = 10.0,
+                            channel_half_hz: float = 9e3) -> float:
+    """Common frequency offset of the TETRA channel grid (hardware ppm).
+
+    Multicarrier AFC: every active carrier sits on the spacing_hz grid
+    shifted by ONE shared tuner error, so folding the average spectrum
+    modulo the spacing and taking the power-weighted circular mean of the
+    occupied bins recovers that shared offset — robust with any number of
+    active carriers and no per-carrier tracking.  (The reference's GUI
+    AFC, modern.py:5223-5257, tracks a single peak instead; this is the
+    full-band analogue.)  Returns the offset in Hz, in
+    [-spacing/2, spacing/2); subtract it (ops/ddc.frequency_shift with
+    -offset) before channelizing on grid offsets.
+    """
+    import jax.numpy as jnp
+    x = np.asarray(x)
+    if len(x) < n_fft:
+        return 0.0
+    frames = np.asarray(spectrum_frames_dbfs(jnp.asarray(x), n_fft))
+    if frames.size == 0:
+        return 0.0
+    avg_db = frames.mean(axis=0)                      # (n_fft,) dBFS
+    freqs = fft_freqs(n_fft, sample_rate_hz)
+    # gate: occupied bins stand gate_db above the median floor
+    floor = np.median(avg_db)
+    sel = avg_db > floor + gate_db
+    if not np.any(sel):
+        return 0.0
+    w = 10.0 ** ((avg_db[sel] - avg_db[sel].max()) / 10.0)  # linear, peak=1
+    # (normalized so the z-magnitude guard below is scale-free — absolute
+    # levels can underflow when zero-padded silence drags the dB average)
+    theta = 2.0 * np.pi * (freqs[sel] % spacing_hz) / spacing_hz
+    # two-pass: modulation sidelobes (worst case: the rect-pulse synth's
+    # sinc skirts) pass the gate at fold phases unrelated to the carrier
+    # grid and bias a global circular mean by ~an FFT bin.  Anchor on the
+    # strongest bin's fold phase (main-lobe peak), then average only bins
+    # within half a channel of it — symmetric near-sidelobe pairs fold to
+    # mirrored phases inside the window and cancel.
+    phi0 = theta[np.argmax(w)]
+    half = 2.0 * np.pi * (channel_half_hz / spacing_hz)
+    d = np.angle(np.exp(1j * (theta - phi0)))         # circular distance
+    keep = np.abs(d) <= half
+    z = np.sum(w[keep] * np.exp(1j * theta[keep]))
+    if abs(z) < 1e-12:
+        return 0.0
+    frac = np.angle(z) / (2.0 * np.pi)                # (-0.5, 0.5]
+    off = frac * spacing_hz
+    if off >= spacing_hz / 2:
+        off -= spacing_hz
+    return float(off)

@@ -643,13 +643,32 @@ def _decode_multicarrier(args, source) -> int:
         # i so device compute overlaps host parsing (dec.decode's
         # np.asarray pulls are the only sync points)
         pending = None
+        afc_hz = 0.0
+        fs = args.sample_rate * 1e6
         while not source.exhausted:
             samples = source.read_samples(chunk)
             if len(samples) == 0:
                 break
             samples_total += len(samples)
+            if getattr(args, "afc", False):
+                # grid-comb AFC: one shared tuner offset for every carrier
+                # (ops/spectrum.estimate_grid_offset_hz); estimated on the
+                # REAL samples (before tail-padding), EMA-smoothed, and
+                # the derotation phase restarts per chunk only when the
+                # estimate moves (sub-Hz jitter is clamped)
+                from tetraear_tpu.ops.spectrum import estimate_grid_offset_hz
+                est = estimate_grid_offset_hz(samples, fs)
             if len(samples) < chunk:
                 samples = np.pad(samples, (0, chunk - len(samples)))
+            if getattr(args, "afc", False):
+                new = est if pending is None else 0.8 * afc_hz + 0.2 * est
+                if abs(new - afc_hz) > 1.0 or pending is None:
+                    afc_hz = new
+                    print(f"[AFC] grid offset {afc_hz:+.0f} Hz")
+                if abs(afc_hz) > 1.0:
+                    t = (start_index + np.arange(len(samples))) / fs
+                    samples = (samples * np.exp(-2j * np.pi * afc_hz * t)
+                               ).astype(np.complex64)
             res = mc(samples, offsets, start_index=start_index)
             start_index += chunk
             if pending is not None:
@@ -828,6 +847,12 @@ def main(argv=None) -> int:
                                "(96 at 2.4 MS/s) in one device program")
     p_decode.add_argument("--no-bits", action="store_true",
                           help="omit raw bits from the JSONL")
+    p_decode.add_argument("--afc", action="store_true",
+                          help="(with --carriers) estimate the shared "
+                               "tuner offset of the 25 kHz channel grid "
+                               "from the folded spectrum and derotate "
+                               "before channelizing (hardware ppm "
+                               "correction)")
     p_decode.add_argument("-o", "--out-jsonl", type=str, default=None)
     p_decode.add_argument("-v", "--verbose", action="store_true")
     p_decode.set_defaults(func=cmd_decode)
