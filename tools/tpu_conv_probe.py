@@ -33,7 +33,8 @@ import numpy as np  # noqa: E402
 
 PROBES = ("fused16", "s2d16", "s2d16_bf16", "pfb96", "pfb96_s2d",
           "pfb96_s2d_bf16", "tail16", "tail96", "cand16", "cand96",
-          "front16_s2d", "front96_s2d")
+          "front16_s2d", "front96_s2d", "split16_s2d", "split96_s2d",
+          "crc96", "topk96", "wingather96")
 
 
 def _build(probe: str, scale: int):
@@ -145,6 +146,63 @@ def _build(probe: str, scale: int):
             return jnp.sum(res.sync_corr) + res.count.sum().astype(
                 jnp.float32)
         return (lambda: fn(x, kd)), n
+
+    if probe in ("crc96", "topk96", "wingather96"):
+        # candidates-program sub-stages at PFB scale (96 x bench bits)
+        from tetraear_tpu import constants as Cc
+        from tetraear_tpu.ops.crc import soft_crc_dense
+        c = 96
+        m = n // decim // sps
+        b = 2 * (m - 1)
+        bits = jax.device_put(jnp.asarray(
+            rng.integers(0, 2, (c, b)).astype(np.uint8)))
+        corr = jax.device_put(jnp.asarray(
+            (rng.random((c, b - 21)) * 0.9).astype(np.float32)))
+        if probe == "crc96":
+            @jax.jit
+            def fn_crc(bb):
+                return jnp.sum(soft_crc_dense(bb).astype(jnp.float32))
+            return (lambda: fn_crc(bits)), n
+        if probe == "topk96":
+            @jax.jit
+            def fn_topk(cc):
+                v, i = jax.lax.top_k(cc, 64)
+                return jnp.sum(v) + jnp.sum(i).astype(jnp.float32)
+            return (lambda: fn_topk(corr)), n
+        start = jax.device_put(jnp.asarray(
+            rng.integers(0, b - 510, (c, 64)).astype(np.int32)))
+
+        @jax.jit
+        def fn_win(bb, st):
+            win = st[..., None] + jnp.arange(Cc.BITS_PER_SLOT)[None, :]
+            win = jnp.minimum(win, b - 1)
+            frames = jnp.take_along_axis(
+                jnp.broadcast_to(bb[..., None, :], (c, 64, b)), win,
+                axis=-1)
+            return jnp.sum(frames.astype(jnp.float32))
+        return (lambda: fn_win(bits, start)), n
+
+    if probe in ("split16_s2d", "split96_s2d"):
+        # conv and demod tail as TWO dispatched programs: consecutive
+        # blocks pipeline on the backend, so steady-state is set by the
+        # slowest stage instead of their sum (cf. the demod/candidates
+        # split that took the round-2 pipeline from 52.8 to 99.7 MS/s)
+        kd = jax.device_put(fused.s2d_kernel(kernel, decim))
+
+        @jax.jit
+        def conv_prog(xc, k):
+            return fused.fused_channelize_s2d_ri(xc, k, gc, L, decim)
+
+        @jax.jit
+        def tail_prog(yr, yi):
+            res = _demod_from_pair(yr, yi, sps, z_rot=z_rot)
+            return jnp.sum(res.sync_corr) + res.count.sum().astype(
+                jnp.float32)
+
+        def fn():
+            yr, yi = conv_prog(x, kd)
+            return tail_prog(yr, yi)
+        return fn, n
 
     if probe in ("tail16", "tail96"):
         c = 16 if probe == "tail16" else 96
