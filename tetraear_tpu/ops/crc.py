@@ -130,6 +130,13 @@ def _dense_crc_kernel() -> tuple:
     kernel = np.zeros((33, 1, 230), np.float32)
     kernel[np.arange(16)[:, None], 0, off[None, :]] = A
     kernel[16 + np.arange(16)[:, None], 0, off[None, ::-1]] = A
+    # fold the RECEIVED CRC bit (window offset 214+s, disjoint from the
+    # payload offsets) into row s: parity(computed + received) is the
+    # XOR, so the error count needs no separately-materialized stack of
+    # 16 shifted bit slices — at PFB bench scale that stack was a
+    # (96, 16, P) int32 (~0.8 GB) intermediate
+    kernel[np.arange(16), 0, 214 + np.arange(16)] = 1.0
+    kernel[16 + np.arange(16), 0, 214 + np.arange(16)] = 1.0
     data_off = np.concatenate([np.arange(108), np.arange(108, 216) + 14])
     kernel[32, 0, data_off] = 1.0
     return kernel, c0
@@ -157,13 +164,12 @@ def soft_crc_dense(bits: jnp.ndarray) -> jnp.ndarray:
         preferred_element_type=jnp.float32)       # (N, 33, B-229)
     sums = out.astype(jnp.int32)
     p = sums.shape[-1]
-    # received CRC bits at window offsets 214..229: 16 shifted slices
-    flat = bits.reshape((-1, b)).astype(jnp.int32)
-    rec = jnp.stack([flat[:, 214 + s: 214 + s + p] for s in range(16)],
-                    axis=1)                        # (N, 16, P)
+    # rows 0..31 already include the received CRC bit via the kernel tap
+    # (see _dense_crc_kernel) — parity(computed + received + c0) is the
+    # per-bit XOR, no shifted-slice stack needed
     c0_j = jnp.asarray(c0.astype(np.int32))[None, :, None]
-    err_f = jnp.sum((sums[:, :16] + c0_j + rec) & 1, axis=1)
-    err_r = jnp.sum((sums[:, 16:32] + c0_j + rec) & 1, axis=1)
+    err_f = jnp.sum((sums[:, :16] + c0_j) & 1, axis=1)
+    err_r = jnp.sum((sums[:, 16:32] + c0_j) & 1, axis=1)
     ones = sums[:, 32]
     nondegen = (ones != 0) & (ones != 216)
     ok = ((err_f <= C.CRC_SOFT_ERROR_BUDGET)
