@@ -213,15 +213,31 @@ class MulticarrierFrontend:
                                       cfg.ref_samples_per_symbol)
 
         if self.fused == "s2d":
+            # THREE dispatched programs (conv -> demod tail -> candidates):
+            # consecutive blocks pipeline on the backend, so steady-state
+            # throughput is set by the slowest stage (the conv, 34 ms at
+            # bench scale) instead of the fused front's 58 ms — same
+            # two-program trick that took round 2 from 52.8 to 99.7 MS/s,
+            # applied once more.  The realpair tail is decision-identical
+            # on the valid region (tests/unit/test_realpair.py).
+            from tetraear_tpu.models.realpair import _demod_from_pair
             L = kernel.shape[-1]
             kernel_dev = jax.device_put(fused.s2d_kernel(kernel, decim))
+            sps = cfg.ref_samples_per_symbol
 
             @jax.jit
+            def conv_prog(x, kern):
+                return fused.fused_channelize_s2d_ri(x, kern, gc, L,
+                                                     decim)
+
+            @jax.jit
+            def tail_prog(yr, yi):
+                res = _demod_from_pair(yr, yi, sps, z_rot=z_rot)
+                return res.bits, res.sync_corr, res.count
+
             def front(x, kern, start_index):
-                y = fused.fused_channelize_s2d(x, kern, gc, L, rot_np,
-                                               decim, start_index,
-                                               rotate=False)
-                return _demod_front(y, cfg, z_rot=z_rot)
+                yr, yi = conv_prog(x, kern)
+                return tail_prog(yr, yi)
         else:
             kernel_dev = jax.device_put(kernel)
 
