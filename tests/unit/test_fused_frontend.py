@@ -320,6 +320,37 @@ class TestSpaceToDepth:
         texts = {f.get("sds_message") for f in frames}
         assert "[TXT] HELLO HELLO" in texts
 
+    def test_s2d_output_folded_matches(self, rng):
+        """fold=4 output-folded s2d conv (128 MXU output lanes for 16
+        carriers) must equal the plain s2d pair, including non-multiple
+        m_out tails and every fold residue."""
+        cfg = ReceiverConfig()
+        cutoff = (cfg.channel_bandwidth_hz / 2) / (cfg.intermediate_rate_hz
+                                                   / 2)
+        offsets = ((np.arange(16) - 8) * 25e3).astype(np.float64)
+        kernel, gc, rot = fused.fused_kernel(
+            offsets, cfg.sample_rate_hz, cfg.decimation_factor,
+            cfg.decim_fir_taps_per_phase, cfg.channel_fir_taps, cutoff)
+        L = kernel.shape[-1]
+        k2 = fused.s2d_kernel(kernel, cfg.decimation_factor)
+        for fold in (2, 4):
+            kf = fused.s2d_of_kernel(kernel, cfg.decimation_factor, fold)
+            for n in (40_000, 40_000 + cfg.decimation_factor,
+                      40_000 + 3 * cfg.decimation_factor):
+                x = ((rng.standard_normal(n) + 1j * rng.standard_normal(n))
+                     * 0.3).astype(np.complex64)
+                xj = jnp.asarray(x)
+                yr, yi = fused.fused_channelize_s2d_ri(
+                    xj, k2, gc, L, cfg.decimation_factor)
+                yrf, yif = fused.fused_channelize_s2d_of_ri(
+                    xj, kf, gc, L, cfg.decimation_factor, fold)
+                assert yrf.shape == yr.shape
+                scale = np.abs(np.asarray(yr)).mean() + 1e-12
+                assert (np.abs(np.asarray(yr) - np.asarray(yrf)).max()
+                        / scale < 1e-5)
+                assert (np.abs(np.asarray(yi) - np.asarray(yif)).max()
+                        / scale < 1e-5)
+
     def test_s2d_pfb_kernel_exact(self, rng):
         """PFB composite (gc=0: pad_l + n exceeds the naive s2d window —
         the regression that required output slicing) must match the

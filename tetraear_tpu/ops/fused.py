@@ -214,6 +214,64 @@ def s2d_kernel(kernel: jnp.ndarray, decim: int) -> jnp.ndarray:
         k4.transpose(0, 3, 1, 2)).reshape(c2, 2 * decim, lp))
 
 
+def s2d_of_kernel(kernel: jnp.ndarray, decim: int, fold: int) -> jnp.ndarray:
+    """Output-folded space-to-depth kernel: (2C*fold, 2D, Lp+fold-1).
+
+    The s2d conv's output-channel count is 2C — for 16 carriers that is
+    32 of the MXU's 128 output lanes (the PFB's 192 fills them; the DDC
+    bank does not).  Folding `fold` consecutive output positions into
+    the channel dimension multiplies the output channels by `fold` at
+    the cost of fold-1 extra (zero) taps per row:
+
+        out[c, w*F + r] = sum_{i,a} K2[c,i,a] X2[i, w*F + r + a]
+                        = (stride-F conv)[c*F + r, w]
+        with K3[c*F+r, i, a2] = K2[c, i, a2-r]  (0 <= a2-r < Lp).
+
+    The un-fold on the output side is one (2C, F, W) -> (2C, W, F)
+    minor-axis transpose of the DECIMATED activation (cheap vs the conv).
+    fold=4 with C=16 gives exactly 128 output lanes."""
+    k2 = np.asarray(s2d_kernel(kernel, decim))
+    c2, ich, lp = k2.shape
+    k3 = np.zeros((c2, fold, ich, lp + fold - 1), np.float32)
+    for r in range(fold):
+        k3[:, r, :, r:r + lp] = k2
+    return jnp.asarray(k3.reshape(c2 * fold, ich, lp + fold - 1))
+
+
+def _s2d_conv_folded(x: jnp.ndarray, kernel_of: jnp.ndarray, gc: int,
+                     L: int, decim: int, fold: int) -> jnp.ndarray:
+    """Output-folded stride-`fold` variant of _s2d_conv: same (2C, m_out)
+    result (summation order identical per output; the fold only changes
+    which MXU lane computes it)."""
+    n = x.shape[-1]
+    m_out = -(-n // decim)
+    la = kernel_of.shape[-1]
+    pad_l = L - 1 - gc
+    wr = -(-m_out // fold)
+    need = (wr - 1) * fold + la               # X2 positions the conv reads
+    total = max(need * decim, -(-(pad_l + n) // decim) * decim)
+    xri = jnp.stack([jnp.real(x), jnp.imag(x)], axis=-1)      # (N, 2)
+    xpad = jnp.pad(xri, ((pad_l, total - pad_l - n), (0, 0)))
+    x2 = xpad.reshape(1, total // decim, 2 * decim)           # (1, W, 2D)
+    out = lax.conv_general_dilated(
+        x2, kernel_of, (fold,), ((0, 0),),
+        dimension_numbers=("NWC", "OIW", "NCW"),
+        preferred_element_type=jnp.float32)[0][:, :wr]        # (2C*F, Wr)
+    c2 = out.shape[0] // fold
+    out = out.reshape(c2, fold, wr).transpose(0, 2, 1).reshape(c2, wr * fold)
+    return out[:, :m_out]
+
+
+def fused_channelize_s2d_of_ri(x: jnp.ndarray, kernel_of: jnp.ndarray,
+                               gc: int, L: int, decim: int,
+                               fold: int) -> tuple:
+    """(yr, yi) un-derotated pair via the output-folded s2d conv — same
+    values as fused_channelize_s2d_ri (pair with symbol_rotation)."""
+    out = _s2d_conv_folded(x, kernel_of, gc, L, decim, fold)
+    c2 = out.shape[0] // 2
+    return out[:c2], out[c2:]
+
+
 def _s2d_conv(x: jnp.ndarray, kernel_s2d: jnp.ndarray, gc: int, L: int,
               decim: int) -> jnp.ndarray:
     """Space-to-depth stride-1 conv shared by the s2d variants.

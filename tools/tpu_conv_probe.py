@@ -31,10 +31,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import numpy as np  # noqa: E402
 
-PROBES = ("fused16", "s2d16", "s2d16_bf16", "pfb96", "pfb96_s2d",
+PROBES = ("fused16", "s2d16", "s2d16_of4", "s2d16_of8", "s2d16_bf16",
+          "pfb96", "pfb96_s2d",
           "pfb96_s2d_bf16", "tail16", "tail96", "cand16", "cand96",
-          "front16_s2d", "front96_s2d", "split16_s2d", "split96_s2d",
-          "crc96", "topk96", "wingather96")
+          "front16_s2d", "front96_s2d", "split16_s2d", "split16_of4",
+          "split96_s2d", "crc96", "topk96", "wingather96")
 
 
 def _build(probe: str, scale: int):
@@ -83,6 +84,20 @@ def _build(probe: str, scale: int):
         @jax.jit
         def fn(xc, k):
             yr, yi = fused.fused_channelize_s2d_ri(xc, k, gc, L, decim)
+            return jnp.sum(yr) + jnp.sum(yi)
+        return (lambda: fn(x, kd)), n
+
+    if probe in ("s2d16_of4", "s2d16_of8"):
+        # output-folded s2d: fold consecutive output positions into the
+        # channel dim so 2C*fold fills the MXU's 128 output lanes
+        # (fold=4 -> exactly 128 for 16 carriers)
+        fold = 4 if probe.endswith("of4") else 8
+        kd = jax.device_put(fused.s2d_of_kernel(kernel, decim, fold))
+
+        @jax.jit
+        def fn(xc, k):
+            yr, yi = fused.fused_channelize_s2d_of_ri(xc, k, gc, L, decim,
+                                                      fold)
             return jnp.sum(yr) + jnp.sum(yi)
         return (lambda: fn(x, kd)), n
 
@@ -181,6 +196,25 @@ def _build(probe: str, scale: int):
                 axis=-1)
             return jnp.sum(frames.astype(jnp.float32))
         return (lambda: fn_win(bits, start)), n
+
+    if probe == "split16_of4":
+        # output-folded conv + demod tail as two dispatched programs
+        kd = jax.device_put(fused.s2d_of_kernel(kernel, decim, 4))
+
+        @jax.jit
+        def conv_prog_of(xc, k):
+            return fused.fused_channelize_s2d_of_ri(xc, k, gc, L, decim, 4)
+
+        @jax.jit
+        def tail_prog_of(yr, yi):
+            res = _demod_from_pair(yr, yi, sps, z_rot=z_rot)
+            return jnp.sum(res.sync_corr) + res.count.sum().astype(
+                jnp.float32)
+
+        def fn():
+            yr, yi = conv_prog_of(x, kd)
+            return tail_prog_of(yr, yi)
+        return fn, n
 
     if probe in ("split16_s2d", "split96_s2d"):
         # conv and demod tail as TWO dispatched programs: consecutive
