@@ -44,8 +44,8 @@ TIER_TIMEOUT_S = 900.0           # child budget incl. remote compile (~3 min);
 # accelerator tiers, best first; each runs in its own process.  s2d
 # leads: first healthy-window head-to-head measured the space-to-depth
 # conv at 239 MS/s vs ~100 MS/s strided (tools/tpu_conv_probe.py)
-TIERS = ("fused_s2d", "fused", "complex", "pfb", "realpair64", "realpair0",
-         "single")
+TIERS = ("fused_s2d_of", "fused_s2d", "fused", "complex", "pfb",
+         "realpair64", "realpair0", "single")
 
 
 def _verified_rate(step_fn, digest_fn, inputs, n: int, iters: int) -> float:
@@ -120,6 +120,16 @@ def _run_tier(tier: str, num_carriers: int, scale: int, iters: int):
         zero = jnp.int32(0)
         rate = _verified_rate(lambda x: fn(x, zero), digest, xs, n, iters)
         return rate, "fused_demod_decode", num_carriers
+    if tier == "fused_s2d_of":
+        # output-folded space-to-depth conv: 2C*fold output channels fill
+        # all 128 MXU output lanes (ops/fused.s2d_of_kernel)
+        mc = MulticarrierFrontend(cfg, num_candidates=64, threshold=0.80,
+                                  fused="s2d_of")
+        fn = mc._compiled_fused(tuple(float(v) for v in offsets))
+        xs = [put_complex(x) for x in xs_np]
+        zero = jnp.int32(0)
+        rate = _verified_rate(lambda x: fn(x, zero), digest, xs, n, iters)
+        return rate, "fused_s2d_of_demod_decode", num_carriers
     if tier == "fused_s2d":
         # space-to-depth stride-1 formulation of the same composite conv
         # (ops/fused.s2d_kernel): decimation folded into the channel dim
@@ -284,7 +294,8 @@ def main() -> int:
             break             # two hung tiers: the tunnel wedged mid-run
             # (a single hang can be a transient — observed healthy
             # windows alternate hang/success across child processes)
-        if results and t not in ("fused", "fused_s2d", "complex", "pfb"):
+        if results and t not in ("fused", "fused_s2d", "fused_s2d_of",
+                                 "complex", "pfb"):
             break             # a full-decode tier verified; lower tiers
             # are strictly-worse fallbacks, not extra data
         if t in ("fused", "complex") and any(
@@ -312,7 +323,7 @@ def main() -> int:
             results.append(res)
             print(f"[bench] tier {t}: {res['sps']:.0f} samples/s on "
                   f"{res['backend']}", file=sys.stderr)
-            if t in ("fused", "fused_s2d", "complex"):
+            if t in ("fused", "fused_s2d", "fused_s2d_of", "complex"):
                 continue              # also measure the 96-channel PFB
             break
         print(f"[bench] tier {t} failed "

@@ -351,6 +351,24 @@ class TestSpaceToDepth:
                 assert (np.abs(np.asarray(yi) - np.asarray(yif)).max()
                         / scale < 1e-5)
 
+    def test_s2d_of_frontend_decodes(self):
+        from tetraear_tpu.models.multicarrier import (MulticarrierDecoder,
+                                                      MulticarrierFrontend)
+        fs = 2.4e6
+        st = synth.make_stream_bits(num_frames=4, lead_bits=64, seed=7,
+                                    golden=True)
+        syms = synth.bits_to_symbols(st)
+        ph = synth.synthesize_symbol_phasors(syms, mapping="ref")
+        iq = synth.upsample_hold(ph, fs, fs / 130.0)
+        t = np.arange(len(iq)) / fs
+        x = (iq * np.exp(2j * np.pi * 25e3 * t)).astype(np.complex64)
+        offs = np.array([25e3, 0.0], np.float32)
+        mc = MulticarrierFrontend(fused="s2d_of")
+        frames = MulticarrierDecoder(2, auto_decrypt=False).decode(
+            mc(x, offs))[0]
+        texts = {f.get("sds_message") for f in frames}
+        assert "[TXT] HELLO HELLO" in texts
+
     def test_s2d_pfb_kernel_exact(self, rng):
         """PFB composite (gc=0: pad_l + n exceeds the naive s2d window —
         the regression that required output slicing) must match the

@@ -212,7 +212,7 @@ class MulticarrierFrontend:
         z_rot = fused.symbol_rotation(rot_np, decim,
                                       cfg.ref_samples_per_symbol)
 
-        if self.fused == "s2d":
+        if self.fused in ("s2d", "s2d_of"):
             # THREE dispatched programs (conv -> demod tail -> candidates):
             # consecutive blocks pipeline on the backend, so steady-state
             # throughput is set by the slowest stage (the conv, 34 ms at
@@ -220,15 +220,30 @@ class MulticarrierFrontend:
             # two-program trick that took round 2 from 52.8 to 99.7 MS/s,
             # applied once more.  The realpair tail is decision-identical
             # on the valid region (tests/unit/test_realpair.py).
+            # "s2d_of" additionally folds consecutive output positions
+            # into channels so 2C*fold fills the MXU's 128 output lanes
+            # (ops/fused.s2d_of_kernel) — same values, pinned by
+            # tests/unit/test_fused_frontend.py.
             from tetraear_tpu.models.realpair import _demod_from_pair
             L = kernel.shape[-1]
-            kernel_dev = jax.device_put(fused.s2d_kernel(kernel, decim))
             sps = cfg.ref_samples_per_symbol
+            if self.fused == "s2d_of":
+                c2 = kernel.shape[0]
+                fold = max(1, min(8, 128 // c2))
+                kernel_dev = jax.device_put(
+                    fused.s2d_of_kernel(kernel, decim, fold))
 
-            @jax.jit
-            def conv_prog(x, kern):
-                return fused.fused_channelize_s2d_ri(x, kern, gc, L,
-                                                     decim)
+                @jax.jit
+                def conv_prog(x, kern):
+                    return fused.fused_channelize_s2d_of_ri(
+                        x, kern, gc, L, decim, fold)
+            else:
+                kernel_dev = jax.device_put(fused.s2d_kernel(kernel, decim))
+
+                @jax.jit
+                def conv_prog(x, kern):
+                    return fused.fused_channelize_s2d_ri(x, kern, gc, L,
+                                                         decim)
 
             @jax.jit
             def tail_prog(yr, yi):
