@@ -41,9 +41,11 @@ WATCHDOG_S = 240.0
 TIER_TIMEOUT_S = 900.0           # child budget incl. remote compile (~3 min);
 # bounded so a hung tier cannot eat the whole bench window
 
-# accelerator tiers, best first; each runs in its own process.  s2d
-# leads: first healthy-window head-to-head measured the space-to-depth
-# conv at 239 MS/s vs ~100 MS/s strided (tools/tpu_conv_probe.py)
+# accelerator tiers, best first; each runs in its own process.  Order
+# evidence: BENCH_r02.json ran both s2d variants in one driver window —
+# fused_s2d_of 159.2 MS/s vs fused_s2d 152.3 MS/s (full pipeline, same
+# run).  (The tpu_conv_probe of4/of8 numbers predating that run were
+# mislabeled — probe-selection bug, fixed — and are not evidence.)
 TIERS = ("fused_s2d_of", "fused_s2d", "fused", "complex", "pfb",
          "realpair64", "realpair0", "single")
 

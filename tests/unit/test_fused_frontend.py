@@ -335,7 +335,10 @@ class TestSpaceToDepth:
         k2 = fused.s2d_kernel(kernel, cfg.decimation_factor)
         for fold in (2, 4):
             kf = fused.s2d_of_kernel(kernel, cfg.decimation_factor, fold)
+            # four consecutive decim multiples cover every m_out % fold
+            # residue class for fold<=4
             for n in (40_000, 40_000 + cfg.decimation_factor,
+                      40_000 + 2 * cfg.decimation_factor,
                       40_000 + 3 * cfg.decimation_factor):
                 x = ((rng.standard_normal(n) + 1j * rng.standard_normal(n))
                      * 0.3).astype(np.complex64)

@@ -58,7 +58,10 @@ def _build(probe: str, scale: int):
     x = put_complex(((rng.standard_normal(n) + 1j * rng.standard_normal(n))
                      * 0.1).astype(np.complex64))
 
-    if probe.endswith("16") and not probe.startswith("pfb"):
+    # "16" anywhere in the name selects the 16-carrier kernel (of4/of8/bf16
+    # suffixes broke an endswith check once — mislabeled 96-ch numbers);
+    # pfb96_s2d_bf16 contains "16" too, hence the explicit pfb exclusion.
+    if "16" in probe and not probe.startswith("pfb"):
         offs = ((np.arange(16) - 8) * 25e3).astype(np.float64)
         kernel, gc, rot = fused.fused_kernel(
             offs, cfg.sample_rate_hz, decim, cfg.decim_fir_taps_per_phase,
