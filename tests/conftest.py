@@ -26,6 +26,23 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="include tests marked slow (>10 s; CI-nightly tier)")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Skip @pytest.mark.slow by default so the everyday suite stays fast;
+    `--runslow` (or an explicit -m expression) runs the full tier."""
+    if config.getoption("--runslow") or config.getoption("-m"):
+        return
+    skip_slow = pytest.mark.skip(reason="slow tier; run with --runslow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip_slow)
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0x7E74A)

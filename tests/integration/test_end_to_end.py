@@ -251,6 +251,7 @@ class TestCLI:
         assert "bits" not in rows[0]
         assert rows[0]["mac_pdu"]["data"] == bytes(b"HELLO HELLO").hex()
 
+    @pytest.mark.slow
     def test_listen_subcommand_replay(self, golden_iq, tmp_path):
         result = subprocess.run(
             [sys.executable, "-m", "tetraear_tpu", "listen",
@@ -397,6 +398,7 @@ class TestThroughputMeter:
 
 
 class TestDownlinkCLI:
+    @pytest.mark.slow
     def test_downlink_simulate_roundtrip(self, tmp_path):
         out = tmp_path / "dl.jsonl"
         result = subprocess.run(
@@ -425,6 +427,7 @@ class TestDownlinkCLI:
 
 
 class TestTuiCLI:
+    @pytest.mark.slow
     def test_tui_headless_replay(self, tmp_path):
         """`tetraear_tpu tui` over a replay file: renders the live view
         headlessly (no tty -> no key thread) and exits when the capture

@@ -49,6 +49,7 @@ class TestMeasure:
 
 
 class TestCliContract:
+    @pytest.mark.slow
     def test_one_json_line(self):
         import os
         env = dict(os.environ, BENCH_CARRIERS="4", BENCH_SCALE="1",

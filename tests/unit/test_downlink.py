@@ -141,6 +141,7 @@ class TestTraffic:
                                     (346, 436))])[:432]
             np.testing.assert_array_equal((soft > 0).astype(np.uint8), blk)
 
+    @pytest.mark.slow
     def test_tch48_depth4_stream(self, cell):
         rng = np.random.default_rng(1)
         blocks = rng.integers(0, 2, (5, 288)).astype(np.uint8)
@@ -549,6 +550,7 @@ class TestLayer3Downlink:
         assert not rx.group_attachments[9002]["attached"]
         assert rx.group_attachments[9002]["detach_reason"] == 2
 
+    @pytest.mark.slow
     def test_call_following_attributes_voice(self, cell):
         # D-SETUP allocates TN3; the voice stream on TN3 must be
         # attributed to the call's talkgroup from that point on

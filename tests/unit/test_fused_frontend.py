@@ -210,6 +210,7 @@ class TestDeferredRotation:
                                    cd - 1j * sd, atol=0)  # shape/type sanity
         np.testing.assert_allclose(sd, -want.imag, atol=1e-6)
 
+    @pytest.mark.slow
     def test_deferred_z_rotation_matches_rotated_symbols(self, rng):
         """Direct algebra check: demod decisions from rotate=False channels
         + constant z rotation == decisions from the rotated channels."""

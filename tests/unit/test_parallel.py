@@ -316,6 +316,7 @@ class TestShardedEtsiDownlink:
             assert np.array_equal(np.sign(a)[conf], np.sign(b)[conf]), \
                 f"carrier {c}: confident-bit sign mismatch"
 
+    @pytest.mark.slow
     def test_sharded_downlink_decode_end_to_end(self):
         from tetraear_tpu.models.downlink import MulticarrierDownlinkReceiver
         from tetraear_tpu.parallel.sharded import ShardedDownlinkReceiver

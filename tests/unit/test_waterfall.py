@@ -55,6 +55,35 @@ class TestColormap:
         img = render_waterfall_rgb(buf)
         assert img.shape == (5, 32, 3) and img.dtype == np.uint8
 
+    def test_save_png_decodes_back(self, tmp_path):
+        """The stdlib PNG writer must produce a spec-valid file whose
+        decompressed scanlines reproduce the pixels exactly."""
+        import struct
+        import zlib
+
+        from tetraear_tpu.ui.waterfall import save_png
+        rng = np.random.default_rng(7)
+        rgb = rng.integers(0, 256, (9, 13, 3), dtype=np.uint8)
+        p = tmp_path / "wf.png"
+        save_png(p, rgb)
+        d = p.read_bytes()
+        assert d[:8] == b"\x89PNG\r\n\x1a\n"
+        w, h, depth, ctype = struct.unpack(">IIBB", d[16:26])
+        assert (w, h, depth, ctype) == (13, 9, 8, 2)
+        # walk chunks to the IDAT payload
+        off, idat = 8, b""
+        while off < len(d):
+            (ln,), tag = struct.unpack(">I", d[off:off + 4]), \
+                d[off + 4:off + 8]
+            if tag == b"IDAT":
+                idat += d[off + 8:off + 8 + ln]
+            off += 12 + ln
+        raw = zlib.decompress(idat)
+        assert len(raw) == 9 * (1 + 13 * 3)
+        rows = [raw[r * 40 + 1:(r + 1) * 40] for r in range(9)]
+        np.testing.assert_array_equal(
+            np.frombuffer(b"".join(rows), np.uint8).reshape(9, 13, 3), rgb)
+
 
 class TestSpikeBand:
     def test_finds_band_around_peak(self):

@@ -731,6 +731,53 @@ def cmd_scan(args) -> int:
     return 0
 
 
+def cmd_waterfall(args) -> int:
+    """Render an IQ capture's waterfall to a PNG/PPM image.
+
+    The headless pixel-surface equivalent of the reference GUI's waterfall
+    widget (modern.py:649-1362): same WaterfallBuffer history + IIR
+    denoiser + blue-cyan-yellow-red colormap, batched device FFTs instead
+    of a Qt repaint loop.  Interactive affordances (zoom drag,
+    click-to-tune) stay TUI/compute-level — see MIGRATION.md."""
+    import jax.numpy as jnp
+    import numpy as np
+    from tetraear_tpu.io.replay import load_iq
+    from tetraear_tpu.ops.spectrum import spectrum_frames_dbfs
+    from tetraear_tpu.ui.waterfall import (WaterfallBuffer,
+                                           render_waterfall_rgb, save_png,
+                                           save_ppm)
+
+    x = load_iq(args.iq_file)
+    if x.size == 0:
+        print(_c("red", f"[FAIL] empty capture {args.iq_file}"))
+        return 1
+    n_fft = args.fft_size
+    rows = max(1, args.rows)
+    hop = max((len(x) - n_fft) // max(rows - 1, 1), 1) if len(x) > n_fft \
+        else n_fft
+    power = np.asarray(spectrum_frames_dbfs(jnp.asarray(x), n_fft, hop))
+    if power.shape[0] == 0:
+        print(_c("red", "[FAIL] capture shorter than one FFT frame"))
+        return 1
+
+    buf = WaterfallBuffer(denoise=args.denoise)
+    freqs = np.zeros(n_fft)   # buffer keys rows by time only
+    for row in power[:rows]:
+        buf.update_spectrum(freqs, row)
+    lo = float(np.percentile(power, 5))
+    hi = float(np.percentile(power, 99.9))
+    rgb = render_waterfall_rgb(buf, floor_db=lo, top_db=max(hi, lo + 1.0))
+    out = Path(args.out or (str(Path(args.iq_file).with_suffix(""))
+                            + "_waterfall.png"))
+    if out.suffix.lower() == ".ppm":
+        save_ppm(out, rgb)
+    else:
+        save_png(out, rgb)
+    print(_c("green", f"[OK] {rgb.shape[1]}x{rgb.shape[0]} waterfall "
+                      f"({lo:.1f}..{hi:.1f} dBFS) -> {out}"))
+    return 0
+
+
 def cmd_devices(_args) -> int:
     from tetraear_tpu.io.capture import BLADERF_AVAILABLE, list_bladerf_devices
     if not BLADERF_AVAILABLE:
@@ -910,6 +957,21 @@ def main(argv=None) -> int:
                              "instead of per-channel retuning")
     _add_common(p_scan)
     p_scan.set_defaults(func=cmd_scan)
+
+    p_wf = sub.add_parser("waterfall",
+                          help="render an IQ capture's waterfall to PNG/PPM")
+    p_wf.add_argument("iq_file", type=str, help="IQ capture (.cf32/.sc16)")
+    p_wf.add_argument("-o", "--out", type=str, default=None,
+                      help="output image (.png or .ppm; default: "
+                           "<iq>_waterfall.png)")
+    p_wf.add_argument("--rows", type=int, default=200,
+                      help="waterfall rows (default 200, the GUI's "
+                           "history depth)")
+    p_wf.add_argument("--fft-size", type=int, default=2048,
+                      help="FFT size (default 2048, modern.py:1929)")
+    p_wf.add_argument("--denoise", action=argparse.BooleanOptionalAction,
+                      default=True, help="IIR spectrum denoiser (alpha=0.15)")
+    p_wf.set_defaults(func=cmd_waterfall)
 
     p_dev = sub.add_parser("devices", help="list BladeRF devices")
     p_dev.set_defaults(func=cmd_devices)

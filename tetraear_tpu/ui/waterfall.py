@@ -100,6 +100,33 @@ def save_ppm(path, rgb: np.ndarray) -> None:
         f.write(rgb.tobytes())
 
 
+def save_png(path, rgb: np.ndarray) -> None:
+    """Write an RGB uint8 image as PNG using only stdlib zlib.
+
+    Gives the reference GUI's pixel waterfall (modern.py:649-1362) a
+    shippable headless artifact (`tetraear_tpu waterfall <iq> -o x.png`)
+    without an imaging dependency."""
+    import struct
+    import zlib
+
+    rgb = np.asarray(rgb, np.uint8)
+    assert rgb.ndim == 3 and rgb.shape[2] == 3
+    h, w = rgb.shape[:2]
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)))
+
+    # filter byte 0 (None) prepended to each scanline
+    raw = b"".join(b"\x00" + rgb[r].tobytes() for r in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    with open(path, "wb") as f:
+        f.write(b"\x89PNG\r\n\x1a\n")
+        f.write(chunk(b"IHDR", ihdr))
+        f.write(chunk(b"IDAT", zlib.compress(raw, 6)))
+        f.write(chunk(b"IEND", b""))
+
+
 def find_spike_band(freqs_mhz: np.ndarray, power_db: np.ndarray,
                     center_mhz: float, search_range_hz: float,
                     noise_floor_db: float = -85.0,
