@@ -1,0 +1,247 @@
+"""Real spec-derived codec (native/codec/) — the executable pair that
+replaces the reference's prebuilt ETSI Windows binaries.
+
+Pins, per VERDICT r2 #1:
+  * speech round-trip through real ACELP analysis/synthesis with a
+    quantitative quality floor (segmental SNR / correlation),
+  * channel codec bit-exact round-trip + BFI contract,
+  * UEP behavior: protected classes corrected under soft-bit noise that
+    the unprotected class visibly takes,
+  * C engine == Python ops mirror bit-for-bit (ccoder output vs
+    ops/channel_coding.tch_s_encode_block — same EN 300 392-2 mother
+    code as ops/viterbi.py),
+  * the full over-the-air chain: PCM -> scoder -> ccoder -> downlink
+    TX/RX -> cdecoder -> sdecoder -> PCM that correlates with the input.
+
+No ETSI test vectors exist in this offline environment (the honesty
+note in native/codec/tetra_codec.h); these tests are the strongest
+verification available: self-consistency, cross-language equality, and
+real error-correction measurements.
+"""
+
+import shutil
+import subprocess
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from tetraear_tpu.audio.blocks import bits_from_tet_block
+from tetraear_tpu.audio.voice import VoiceEncoder, VoiceProcessor
+from tetraear_tpu.ops import channel_coding as cc
+from tetraear_tpu.utils.synth import make_test_speech
+
+REPO = Path(__file__).resolve().parents[2]
+CODEC_SRC = REPO / "native" / "codec"
+CODEC_BIN = REPO / "tetraear_tpu" / "tetra_codec" / "bin"
+
+
+@pytest.fixture(scope="session")
+def codec_dir():
+    """Build + install the codec executables if absent."""
+    if not all((CODEC_BIN / n).exists()
+               for n in ("scoder", "sdecoder", "ccoder", "cdecoder")):
+        if shutil.which("make") is None:
+            pytest.skip("no make; codec binaries not built")
+        subprocess.run(["make", "-C", str(CODEC_SRC), "install"],
+                       check=True, capture_output=True, timeout=120)
+    return CODEC_BIN
+
+
+@pytest.fixture(scope="session")
+def speech_pcm():
+    return make_test_speech(1.5, seed=3)
+
+
+def _seg_snr(x: np.ndarray, y: np.ndarray) -> float:
+    n = min(len(x), len(y))
+    x, y = x[:n].astype(float), y[:n].astype(float)
+    seg = []
+    for i in range(0, n - 240, 240):
+        e = np.sum((x[i:i + 240] - y[i:i + 240]) ** 2) + 1e-12
+        s = np.sum(x[i:i + 240] ** 2) + 1e-12
+        seg.append(10 * np.log10(s / e))
+    return float(np.mean(seg))
+
+
+def _run(exe, inp, outp, tmp):
+    subprocess.run([str(exe), str(inp), str(outp)], check=True,
+                   capture_output=True, timeout=30, cwd=tmp)
+
+
+class TestSpeechCodec:
+    def test_roundtrip_quality(self, codec_dir, speech_pcm, tmp_path):
+        """scoder -> sdecoder reconstructs speech-like audio: this is
+        real ACELP (LP + pitch + algebraic innovation), so the output
+        must correlate strongly and carry the input's energy."""
+        pcm_in = tmp_path / "in.pcm"
+        pcm_in.write_bytes(speech_pcm.tobytes())
+        _run(codec_dir / "scoder", pcm_in, tmp_path / "s.serial", tmp_path)
+        _run(codec_dir / "sdecoder", tmp_path / "s.serial",
+             tmp_path / "out.pcm", tmp_path)
+        out = np.fromfile(tmp_path / "out.pcm", np.int16)
+        n = min(len(speech_pcm), len(out))
+        assert n >= len(speech_pcm) - 240
+        corr = np.corrcoef(speech_pcm[:n].astype(float),
+                           out[:n].astype(float))[0, 1]
+        assert corr > 0.6, corr
+        assert _seg_snr(speech_pcm, out) > 2.5
+        e_ratio = (np.sum(out[:n].astype(float) ** 2)
+                   / np.sum(speech_pcm[:n].astype(float) ** 2))
+        assert 0.4 < e_ratio < 2.5, e_ratio
+
+    def test_serial_contract(self, codec_dir, speech_pcm, tmp_path):
+        """(BFI + 137) int16 words per frame, BFI=0, bits in {0,1} —
+        the byte contract voice.py:159-208 relies on."""
+        pcm_in = tmp_path / "in.pcm"
+        pcm_in.write_bytes(speech_pcm.tobytes())
+        _run(codec_dir / "scoder", pcm_in, tmp_path / "s.serial", tmp_path)
+        w = np.fromfile(tmp_path / "s.serial", np.int16)
+        assert w.size % 138 == 0
+        frames = w.reshape(-1, 138)
+        assert frames.shape[0] == int(np.ceil(len(speech_pcm) / 240))
+        assert np.all(frames[:, 0] == 0)
+        assert set(np.unique(frames[:, 1:])) <= {0, 1}
+
+    def test_decoder_conceals_bfi(self, codec_dir, speech_pcm, tmp_path):
+        """BFI frames must not explode or go loud: concealment decays
+        energy and long loss mutes."""
+        pcm_in = tmp_path / "in.pcm"
+        pcm_in.write_bytes(speech_pcm.tobytes())
+        _run(codec_dir / "scoder", pcm_in, tmp_path / "s.serial", tmp_path)
+        w = np.fromfile(tmp_path / "s.serial", np.int16).reshape(-1, 138)
+        w = w.copy()
+        w[10:, 0] = 1                       # everything after frame 10 bad
+        (tmp_path / "bad.serial").write_bytes(w.tobytes())
+        _run(codec_dir / "sdecoder", tmp_path / "bad.serial",
+             tmp_path / "bad.pcm", tmp_path)
+        out = np.fromfile(tmp_path / "bad.pcm", np.int16).astype(float)
+        head = np.abs(out[:10 * 240]).max()
+        tail = np.abs(out[-5 * 240:]).max()
+        assert head > 200              # good frames are audible
+        assert tail < head * 0.1       # long loss decayed/muted
+
+
+class TestChannelCodec:
+    def test_roundtrip_bitexact(self, codec_dir, tmp_path):
+        rng = np.random.default_rng(11)
+        frames = rng.integers(0, 2, (8, 138)).astype(np.int16)
+        frames[:, 0] = 0
+        (tmp_path / "a.serial").write_bytes(frames.tobytes())
+        _run(codec_dir / "ccoder", tmp_path / "a.serial",
+             tmp_path / "a.tet", tmp_path)
+        _run(codec_dir / "cdecoder", tmp_path / "a.tet",
+             tmp_path / "b.serial", tmp_path)
+        back = np.fromfile(tmp_path / "b.serial", np.int16).reshape(-1, 138)
+        np.testing.assert_array_equal(back, frames)
+
+    def test_c_engine_equals_python_mirror(self, codec_dir, tmp_path):
+        """ccoder's 432 coded bits == ops/channel_coding.tch_s_encode_block
+        for the same frames: the C engine and the framework's Python/JAX
+        ops implement the same mother code, puncturing, CRC-8,
+        sensitivity partition, and interleaver."""
+        rng = np.random.default_rng(12)
+        frames = rng.integers(0, 2, (6, 138)).astype(np.int16)
+        frames[:, 0] = 0
+        (tmp_path / "a.serial").write_bytes(frames.tobytes())
+        _run(codec_dir / "ccoder", tmp_path / "a.serial",
+             tmp_path / "a.tet", tmp_path)
+        raw = (tmp_path / "a.tet").read_bytes()
+        assert len(raw) == 3 * 1380
+        for blk in range(3):
+            c_bits = bits_from_tet_block(raw[blk * 1380:(blk + 1) * 1380])
+            py_bits = cc.tch_s_encode_block(
+                frames[2 * blk, 1:].astype(np.uint8),
+                frames[2 * blk + 1, 1:].astype(np.uint8))
+            np.testing.assert_array_equal(c_bits, py_bits)
+
+    def test_python_decoder_matches_c(self, codec_dir, tmp_path):
+        """cdecoder output == ops/channel_coding.tch_s_decode_block on the
+        same noisy soft bits."""
+        rng = np.random.default_rng(13)
+        frames = rng.integers(0, 2, (2, 138)).astype(np.int16)
+        frames[:, 0] = 0
+        coded = cc.tch_s_encode_block(frames[0, 1:].astype(np.uint8),
+                                      frames[1, 1:].astype(np.uint8))
+        soft = np.where(coded > 0, 127.0, -127.0)
+        soft += 45.0 * rng.standard_normal(432)
+        blk = np.zeros(690, np.int16)
+        blk[0] = 0x6B21
+        idx = np.r_[1:115, 116:230, 231:345, 346:436]
+        blk[idx] = np.clip(soft, -32768, 32767).astype(np.int16)
+        (tmp_path / "n.tet").write_bytes(blk.tobytes())
+        _run(codec_dir / "cdecoder", tmp_path / "n.tet",
+             tmp_path / "n.serial", tmp_path)
+        c_out = np.fromfile(tmp_path / "n.serial", np.int16).reshape(-1, 138)
+        g1, g2, bfi = cc.tch_s_decode_block(blk[idx].astype(np.float32))
+        np.testing.assert_array_equal(c_out[0, 1:], g1)
+        np.testing.assert_array_equal(c_out[1, 1:], g2)
+        assert bool(c_out[0, 0]) == bfi
+
+    def test_uep_corrects_protected_classes(self, codec_dir):
+        """Under soft noise that flips ~2% of raw bits, class 1/2 decode
+        error-free while class 0 (unprotected pulse positions) takes
+        hits — the defining UEP property."""
+        rng = np.random.default_rng(14)
+        order = cc.tch_s_sensitivity_order()
+        errs_prot = errs_cls0 = n_bfi = 0
+        for trial in range(20):
+            f1 = rng.integers(0, 2, 137).astype(np.uint8)
+            f2 = rng.integers(0, 2, 137).astype(np.uint8)
+            coded = cc.tch_s_encode_block(f1, f2)
+            soft = np.where(coded > 0, 127.0, -127.0)
+            soft += 55.0 * rng.standard_normal(432)
+            g1, g2, bfi = cc.tch_s_decode_block(soft.astype(np.float32))
+            n_bfi += bfi
+            for a, b in ((f1, g1), (f2, g2)):
+                errs_prot += int(np.sum(a[order[:86]] != b[order[:86]]))
+                errs_cls0 += int(np.sum(a[order[86:]] != b[order[86:]]))
+        assert errs_prot == 0, errs_prot
+        assert errs_cls0 > 0                   # noise was real
+        assert n_bfi == 0
+
+    def test_bfi_fires_under_heavy_noise(self, codec_dir):
+        rng = np.random.default_rng(15)
+        bfis = 0
+        for trial in range(8):
+            f1 = rng.integers(0, 2, 137).astype(np.uint8)
+            f2 = rng.integers(0, 2, 137).astype(np.uint8)
+            coded = cc.tch_s_encode_block(f1, f2)
+            soft = np.where(coded > 0, 127.0, -127.0)
+            soft += 400.0 * rng.standard_normal(432)
+            _, _, bfi = cc.tch_s_decode_block(soft.astype(np.float32))
+            bfis += bfi
+        assert bfis >= 6
+
+
+class TestFullVoiceChain:
+    def test_over_the_air_speech(self, codec_dir, speech_pcm):
+        """PCM -> scoder+ccoder -> ETSI downlink TX -> blind RX ->
+        cdecoder+sdecoder -> PCM: the received audio must be real ACELP
+        speech correlated with the transmitted input."""
+        from tetraear_tpu.models.downlink import (DownlinkConfig,
+                                                  DownlinkReceiver,
+                                                  DownlinkTransmitter)
+        enc = VoiceEncoder(codec_dir=codec_dir)
+        vp = VoiceProcessor(codec_dir=codec_dir)
+        assert enc.working and vp.working
+        voc = enc.encode_pcm_bits(speech_pcm)
+        assert voc.shape[0] >= 8
+        voc = voc[:8]
+        tx = DownlinkTransmitter(DownlinkConfig())
+        bits = tx.stream_bits(40, tch_streams={3: ("TCH/S", voc, 1)})
+        iq = tx.modulate(bits, snr_db=20.0, seed=2)
+        rx = DownlinkReceiver(traffic_channel="TCH/S")
+        got = [f.voice_block for f in rx.receive(iq) if f.voice_block]
+        assert len(got) == 8
+        audio = vp.decode_stream(got)
+        assert audio.size == 8 * 480
+        # compare against the direct (no-air) decode of the same blocks:
+        direct = vp.decode_stream(enc.encode_pcm(speech_pcm)[:8])
+        n = min(audio.size, direct.size)
+        corr = np.corrcoef(audio[:n], direct[:n])[0, 1]
+        assert corr > 0.95, corr               # channel fully corrected
+        ref = speech_pcm[:n].astype(float) / 32768.0
+        corr_in = np.corrcoef(audio[:n], ref[:n])[0, 1]
+        assert corr_in > 0.5, corr_in
+        assert float(np.abs(audio).max()) > 0.05

@@ -127,3 +127,16 @@ def validate_block(frame_data: bytes) -> bool:
     if len(frame_data) != C.CODEC_BLOCK_BYTES:
         return False
     return struct.unpack("<H", frame_data[0:2])[0] == C.CODEC_FRAME_HEADER
+
+
+def bits_from_tet_block(block: bytes) -> np.ndarray:
+    """690-short .tet block -> the 432 coded bits (sign > 0 <=> 1) in
+    over-the-air order — the inverse of _place_soft_bits' layout."""
+    words = np.frombuffer(block, dtype="<i2")
+    out = np.zeros(432, np.uint8)
+    idx = 0
+    for lo, hi in C.CODEC_BIT_RANGES:
+        n = hi - lo
+        out[idx:idx + n] = (words[lo:hi] > 0).astype(np.uint8)
+        idx += n
+    return out

@@ -9,12 +9,15 @@ time-slot block:
     sdecoder  serial bits -> 8 kHz int16 PCM
 
 Host-side by design (BASELINE: "voice codec exe stays on host").  On Linux
-the binaries are looked up without the .exe suffix first.  The environment
-has no network access, so the ETSI source download recipe
-(tools/install_tetra_codec.py in the reference) cannot run here; when the
-binaries are absent the processor reports not-working and decode_frame
-returns an empty array — same degraded behavior as the reference without
-its bundled exes.
+the binaries are looked up without the .exe suffix first.  The default
+binaries are the repo's own spec-derived implementation built from
+native/codec/ (real ACELP synthesis + real UEP channel decoding, see
+native/codec/tetra_codec.h for the scope/honesty note) and installed by
+`make -C native/codec install`; a genuine ETSI build supplied via
+tools/install_tetra_codec.py or TETRAEAR_TPU_CODEC_DIR takes their place
+with no code change.  When no binaries are present the processor reports
+not-working and decode_frame returns an empty array — same degraded
+behavior as the reference without its bundled exes.
 """
 
 from __future__ import annotations
@@ -134,6 +137,41 @@ class VoiceProcessor:
             _cleanup()
             return np.zeros(0)
 
+    def decode_stream(self, blocks) -> np.ndarray:
+        """Decode a SEQUENCE of 690-short blocks in one codec invocation
+        pair, preserving decoder state (excitation history, synthesis
+        memory) across blocks — the high-quality path for accumulated
+        voice (downlink TCH/S streams, call recordings).  Per-block
+        `decode_frame` stays contract-exact with the reference."""
+        blocks = [b for b in blocks if b and validate_block(b)]
+        if not self.working or not blocks:
+            return np.zeros(0)
+        with tempfile.NamedTemporaryFile(mode="wb", delete=False,
+                                         suffix=".tet") as tmp_in:
+            for b in blocks:
+                tmp_in.write(b)
+            in_path = Path(tmp_in.name)
+        serial_path = Path(str(in_path) + ".serial")
+        synth_path = Path(str(in_path) + ".synth")
+        try:
+            if not self._run_stage(self.cdecoder_path, in_path,
+                                   serial_path):
+                return np.zeros(0)
+            if not self._run_stage(self.sdecoder_path, serial_path,
+                                   synth_path):
+                return np.zeros(0)
+            pcm = np.frombuffer(synth_path.read_bytes(), dtype=np.int16)
+            return pcm.astype(np.float32) / 32768.0
+        except Exception as e:
+            logger.debug("Voice stream decode error: %s", e)
+            return np.zeros(0)
+        finally:
+            for p in (in_path, serial_path, synth_path):
+                try:
+                    p.unlink(missing_ok=True)
+                except Exception:
+                    pass
+
     def _run_stage(self, exe: Path, inp: Path, outp: Path) -> bool:
         codec_logger.debug("Calling %s %s %s", exe, inp, outp)
         try:
@@ -168,3 +206,64 @@ class VoiceProcessor:
                                    bfi1, bfi2)
         except Exception:
             pass
+
+
+class VoiceEncoder:
+    """Encode-direction wrapper (scoder + ccoder): PCM -> coded TCH/S
+    blocks.  The transmit-side mirror of VoiceProcessor, used by
+    `downlink --simulate` to put REAL coded speech over the air and by
+    the codec round-trip tests (the reference only ships the encoders
+    for its verify tool, tools/verify_codec.py:152-210)."""
+
+    def __init__(self, codec_dir=None):
+        default_dir = Path(__file__).resolve().parents[1] / "tetra_codec" / "bin"
+        env_dir = os.environ.get("TETRAEAR_TPU_CODEC_DIR")
+        resolved = Path(codec_dir or env_dir or default_dir)
+        self.scoder_path = _find_exe(resolved, "scoder")
+        self.ccoder_path = _find_exe(resolved, "ccoder")
+        self.working = (self.scoder_path.exists()
+                        and self.ccoder_path.exists())
+
+    def encode_pcm(self, pcm) -> list:
+        """int16 PCM @ 8 kHz -> list of 690-short .tet blocks (bytes).
+        Returns [] on any failure."""
+        if not self.working:
+            return []
+        pcm = np.asarray(pcm, np.int16)
+        with tempfile.NamedTemporaryFile(mode="wb", delete=False,
+                                         suffix=".pcm") as tmp:
+            tmp.write(pcm.tobytes())
+            pcm_path = Path(tmp.name)
+        serial_path = Path(str(pcm_path) + ".serial")
+        tet_path = Path(str(pcm_path) + ".tet")
+        try:
+            for exe, inp, outp in ((self.scoder_path, pcm_path, serial_path),
+                                   (self.ccoder_path, serial_path, tet_path)):
+                result = subprocess.run(
+                    [str(exe), str(inp.resolve()), str(outp.resolve())],
+                    stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                    check=False, timeout=_CODEC_TIMEOUT_S)
+                if result.returncode != 0 or not outp.exists():
+                    return []
+            raw = tet_path.read_bytes()
+            nblk = len(raw) // C.CODEC_BLOCK_BYTES
+            return [raw[i * C.CODEC_BLOCK_BYTES:(i + 1) * C.CODEC_BLOCK_BYTES]
+                    for i in range(nblk)]
+        except Exception as e:
+            logger.debug("Voice encode error: %s", e)
+            return []
+        finally:
+            for p in (pcm_path, serial_path, tet_path):
+                try:
+                    p.unlink(missing_ok=True)
+                except Exception:
+                    pass
+
+    def encode_pcm_bits(self, pcm) -> "np.ndarray":
+        """int16 PCM -> (M, 432) uint8 coded bits (over-the-air TCH/S
+        payloads for DownlinkTransmitter tch_streams)."""
+        from tetraear_tpu.audio.blocks import bits_from_tet_block
+        blocks = self.encode_pcm(pcm)
+        if not blocks:
+            return np.zeros((0, 432), np.uint8)
+        return np.stack([bits_from_tet_block(b) for b in blocks])

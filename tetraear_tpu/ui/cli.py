@@ -375,8 +375,23 @@ def cmd_downlink(args) -> int:
             slot = tx.schedule_signalling(payloads, pdu, group, slot,
                                           args.slots, **kw)
         k1 = TCH_GEOMETRY[args.traffic_channel][0]
-        voc = rng.integers(0, 2, (max(1, args.slots // 4), k1)
-                           ).astype(np.uint8)
+        voc = None
+        if args.traffic_channel == "TCH/S":
+            # real coded speech over the air: synthesized PCM through the
+            # spec-derived scoder+ccoder (native/codec/) so the received
+            # voice blocks decode to actual ACELP audio below
+            from tetraear_tpu.audio.voice import VoiceEncoder
+            from tetraear_tpu.utils.synth import make_test_speech
+            venc = VoiceEncoder()
+            if venc.working:
+                n_blocks = max(1, args.slots // 4)
+                pcm = make_test_speech(n_blocks * 0.06 + 0.06)
+                voc = venc.encode_pcm_bits(pcm)[:n_blocks]
+                print(f"[SIM] TCH/S carries {len(voc)} blocks of real "
+                      "ACELP-coded speech (native/codec)")
+        if voc is None or len(voc) == 0:
+            voc = rng.integers(0, 2, (max(1, args.slots // 4), k1)
+                               ).astype(np.uint8)
         bits = tx.stream_bits(args.slots, payloads=payloads,
                               tch_streams={3: (args.traffic_channel, voc,
                                                args.traffic_depth)})
@@ -472,6 +487,32 @@ def cmd_downlink(args) -> int:
             print(f"[TCH] TN{t}: {blocks.shape[0]} "
                   f"{args.traffic_channel} blocks de-interleaved "
                   f"(depth {args.traffic_depth})")
+
+    voice_seq = [f.voice_block for f in frames if f.voice_block]
+    if voice_seq:
+        # run the received TCH/S blocks through the real codec chain
+        # (cdecoder: de-interleave + Viterbi + CRC; sdecoder: ACELP
+        # synthesis) — one invocation keeps decoder state across blocks
+        from tetraear_tpu.audio.voice import VoiceProcessor
+        vp = VoiceProcessor()
+        if vp.working:
+            audio = vp.decode_stream(voice_seq)
+            amp = float(np.abs(audio).max()) if audio.size else 0.0
+            print(f"[VOICE] {len(voice_seq)} blocks -> {audio.size} PCM "
+                  f"samples ({audio.size / 8000:.2f} s, peak {amp:.3f}) "
+                  "via ACELP synthesis")
+            if getattr(args, "voice_wav", None) and audio.size:
+                import wave
+                with wave.open(args.voice_wav, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes((np.clip(audio, -1, 1) * 32767
+                                   ).astype(np.int16).tobytes())
+                print(f"[VOICE] wrote {args.voice_wav}")
+        else:
+            print("[VOICE] codec binaries not found "
+                  "(make -C native/codec install)")
     rate = len(iq) / max(dt, 1e-9) / 1e6
     print(f"[DONE] {len(frames)} slots, {crc_pass} CRC-pass, "
           f"{voice_blocks} voice blocks  [{rate:.2f} MS/s]")
@@ -924,6 +965,8 @@ def main(argv=None) -> int:
     p_dl.add_argument("--traffic-depth", type=int, default=1,
                       choices=[1, 4, 8])
     p_dl.add_argument("-o", "--out-jsonl", type=str, default=None)
+    p_dl.add_argument("--voice-wav", type=str, default=None,
+                      help="write decoded TCH/S voice to a WAV file")
     p_dl.add_argument("-v", "--verbose", action="store_true")
     p_dl.set_defaults(func=cmd_downlink)
 

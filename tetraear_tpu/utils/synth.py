@@ -231,3 +231,29 @@ def make_mac_block_bits(payload: bytes, address: int = 0x0ABC,
         raise ValueError("payload too long for the block")
     fill = rng.integers(0, 2, total_bits - head.size).astype(np.uint8)
     return np.concatenate([head, fill])
+
+
+def make_test_speech(seconds: float = 2.0, fs: int = 8000,
+                     seed: int = 1) -> np.ndarray:
+    """Voiced-speech-like int16 PCM: a swept pitch-pulse train through
+    three formant resonators with syllable-rate amplitude modulation.
+
+    Exercises every stage the real ACELP codec cares about (pitch
+    tracking, LP spectrum, gain dynamics) without shipping recorded
+    audio; used by the codec tests and `downlink --simulate` voice."""
+    from scipy.signal import lfilter
+    rng = np.random.default_rng(seed)
+    n = int(fs * seconds)
+    t = np.arange(n) / fs
+    f0 = 100 + 40 * (t / max(t[-1], 1e-9))
+    phase = np.cumsum(f0) / fs
+    exc = (np.diff(np.floor(phase), prepend=0.0) > 0).astype(float)
+    exc += 0.02 * rng.standard_normal(n)
+    x = exc
+    for f, bw in ((700, 130), (1220, 160), (2600, 300)):
+        r = np.exp(-np.pi * bw / fs)
+        th = 2 * np.pi * f / fs
+        x = lfilter([1.0], [1.0, -2 * r * np.cos(th), r * r], x)
+    x = x / (np.abs(x).max() + 1e-9) * 12000.0
+    x *= 0.55 + 0.45 * np.sin(2 * np.pi * 2.5 * t) ** 2
+    return x.astype(np.int16)
