@@ -156,9 +156,10 @@ def _run_tier(tier: str, num_carriers: int, scale: int, iters: int):
         # pathological on the remote backend (tools/tpu_bisect.py).
         pfb = PfbMulticarrierFrontend(
             cfg, num_candidates=64, threshold=0.80,
-            # dense modulated conv on accelerators; the gather form wins
-            # on CPU (the dense kernel does C x the FLOPs)
-            fused=jax.default_backend() != "cpu")
+            # space-to-depth dense conv + split dispatch on accelerators
+            # (the 16-carrier tier's wins applied full-band); the gather
+            # form wins on CPU (the dense kernel does C x the FLOPs)
+            fused="s2d" if jax.default_backend() != "cpu" else False)
         xs = [put_complex(x) for x in xs_np]
         return _verified_rate(pfb, digest, xs, n, iters), \
             "pfb_demod_decode", 96

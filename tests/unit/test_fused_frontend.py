@@ -138,8 +138,9 @@ class TestFusedPfb:
         assert np.abs(a - b).max() / scale < 2e-3
 
     def test_fused_pfb_frontend_decodes(self):
-        """PfbMulticarrierFrontend(fused=True) decodes a planted carrier
-        identically to the gather formulation."""
+        """PfbMulticarrierFrontend(fused=True) and the s2d split-dispatch
+        variant (the bench tier) decode a planted carrier identically to
+        the gather formulation."""
         from tetraear_tpu.models.multicarrier import PfbMulticarrierFrontend
         fs = 2.4e6
         st = synth.make_stream_bits(num_frames=4, lead_bits=64, seed=2,
@@ -150,20 +151,21 @@ class TestFusedPfb:
         t = np.arange(len(iq)) / fs
         x = (iq * np.exp(2j * np.pi * 50e3 * t)).astype(np.complex64)
         a = PfbMulticarrierFrontend()(x)
-        b = PfbMulticarrierFrontend(fused=True)(x)
         av = np.asarray(a.cand_valid)
-        bv = np.asarray(b.cand_valid)
-        np.testing.assert_array_equal(av, bv)
-        np.testing.assert_array_equal(np.asarray(a.crc_ok)[av],
-                                      np.asarray(b.crc_ok)[bv])
-        # bit-exact on the planted carrier (+50 kHz = channel index 2);
-        # signal-free channels slice near-zero samples whose hard
-        # decisions are fp-order chaotic — no meaningful contract there
+        # planted carrier at +50 kHz = channel index 2; signal-free
+        # channels slice near-zero samples whose hard decisions are
+        # fp-order chaotic — no meaningful contract there
         ch = 2
-        np.testing.assert_array_equal(
-            np.asarray(a.frame_bits)[ch][av[ch]],
-            np.asarray(b.frame_bits)[ch][bv[ch]])
-        assert np.asarray(b.crc_ok)[ch][bv[ch]].any()
+        for variant in (True, "s2d"):
+            b = PfbMulticarrierFrontend(fused=variant)(x)
+            bv = np.asarray(b.cand_valid)
+            np.testing.assert_array_equal(av, bv)
+            np.testing.assert_array_equal(np.asarray(a.crc_ok)[av],
+                                          np.asarray(b.crc_ok)[bv])
+            np.testing.assert_array_equal(
+                np.asarray(a.frame_bits)[ch][av[ch]],
+                np.asarray(b.frame_bits)[ch][bv[ch]])
+            assert np.asarray(b.crc_ok)[ch][bv[ch]].any()
 
 
 class TestFusedDdc:

@@ -350,10 +350,39 @@ class PfbMulticarrierFrontend:
             from tetraear_tpu.models.realpair import _demod_from_pair
             kernel, gc, rot = fused.pfb_kernel(
                 num_channels, cfg.sample_rate_hz, taps_per_branch=tpb)
-            kernel_dev = jax.device_put(kernel)
             rot_np = np.asarray(rot)
-            z_rot = fused.symbol_rotation(rot_np, decim,
-                                          cfg.ref_samples_per_symbol)
+            sps = cfg.ref_samples_per_symbol
+            z_rot = fused.symbol_rotation(rot_np, decim, sps)
+
+            if self.fused == "s2d":
+                # the 16-carrier bench path's two wins, applied to the
+                # full-band tier (BENCH_r02's weak spot, 49 MS/s):
+                # (1) space-to-depth stride-1 conv (decimation folded
+                #     into channels — the MXU-shaped formulation that
+                #     took the 16-carrier conv from ~100 to 239 MS/s),
+                # (2) conv and demod tail as TWO dispatched programs so
+                #     consecutive blocks pipeline (steady state = slowest
+                #     stage, not the sum).
+                L = kernel.shape[-1]
+                kernel_dev = jax.device_put(fused.s2d_kernel(kernel,
+                                                             decim))
+
+                @jax.jit
+                def conv_prog(x, kern):
+                    return fused.fused_channelize_s2d_ri(x, kern, gc, L,
+                                                         decim)
+
+                @jax.jit
+                def tail_prog(yr, yi):
+                    res = _demod_from_pair(yr, yi, sps, z_rot=z_rot)
+                    return res.bits, res.sync_corr, res.count
+
+                def front_s2d(x):
+                    yr, yi = conv_prog(x, kernel_dev)
+                    return tail_prog(yr, yi)
+                return _assemble(front_s2d)
+
+            kernel_dev = jax.device_put(kernel)
 
             @jax.jit
             def front_fused(x, kern):
