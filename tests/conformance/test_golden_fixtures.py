@@ -85,3 +85,53 @@ def test_encrypted_fixture_decrypts_with_common_key():
     decrypted = [f for f in golden if f.get("decrypted")]
     assert decrypted, "golden lost its decrypt outcome — regenerate"
     assert any(f.get("key_used") == "TEA1 common_key_0" for f in decrypted)
+
+
+def test_long_mixed_golden_bit_exact():
+    """The 1.25 s long_mixed capture (VERDICT r2 #5) through the CHUNKED
+    offline loop (256k-sample chunks, one stateful decoder): bit-exact
+    vs the reference golden.  Exercises fragmentation reassembly ACROSS
+    a chunk boundary, a TEA1 common-key decrypt, an encrypted-flagged
+    clear frame (pins the discovered BYPASS-unreachability quirk: the
+    GSM7 +120 garbage score trips the reference's >80 first-hit break,
+    decoder.py:777, before BYPASS is scored), +/-120 Hz AFC drift, and
+    organic false-sync junk frames."""
+    meta, golden = _load_golden("long_mixed")
+    iq = np.asarray(load_iq(FIXTURES / "long_mixed.sc16"))
+    assert len(iq) == meta["samples"]
+
+    chunk_n = meta["chunk_samples"]
+    dec = TetraDecoder(auto_decrypt=meta["auto_decrypt"])
+    frames = []
+    n_chunks = 0
+    for start in range(0, len(iq), chunk_n):
+        chunk = iq[start:start + chunk_n]
+        if len(chunk) < 1000:
+            break
+        sp = SignalProcessor(config=ReceiverConfig(profile="ref-exact"))
+        symbols = sp.process(chunk, freq_offset=0.0)
+        for fr in dec.decode(symbols):
+            fr["chunk"] = n_chunks
+            frames.append(fr)
+        n_chunks += 1
+    assert n_chunks == meta["chunks"]
+
+    assert len(frames) == len(golden), \
+        f"{len(frames)} frames vs {len(golden)} golden"
+    for i, (mine, gold) in enumerate(zip(frames, golden)):
+        mine = json.loads(json.dumps(_sanitize(mine), sort_keys=True))
+        for k, v in gold.items():
+            assert k in mine, f"long_mixed[{i}]: missing key {k}"
+            assert mine[k] == v, \
+                f"long_mixed[{i}].{k}: {mine[k]!r} != golden {v!r}"
+
+    # the planted behaviors actually appear in the golden (guards the
+    # fixture itself against silent regeneration drift)
+    sds = [g.get("sds_message") for g in golden]
+    assert "[TXT] FRAG SPANS CHUNKS OK OK OK" in sds      # cross-chunk
+    assert "[TXT] SECRET CALL 42!!" in sds                # TEA1 decrypt
+    assert "[TXT] LATE LATE MESSAGE" in sds               # drift tail
+    flagged_clear = [g for g in golden
+                     if g.get("best_key", "").startswith("TEA1 common")
+                     and g.get("burst_crc") and g.get("chunk") == 3]
+    assert flagged_clear, "BYPASS-quirk frame missing from golden"

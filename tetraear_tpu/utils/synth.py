@@ -89,7 +89,9 @@ def _uint_to_bits(val: int, n: int) -> np.ndarray:
 
 def make_mac_resource_frame_bits(payload: bytes, address: int = 0x1234,
                                  encrypted: bool = False, seed: int = 0,
-                                 solve_crc: bool = True) -> np.ndarray:
+                                 solve_crc: bool = True,
+                                 encryption_mode: int | None = None
+                                 ) -> np.ndarray:
     """A 510-bit slot carrying a parseable clear MAC-RESOURCE PDU with TS1
     planted at bit offset 216.
 
@@ -104,15 +106,45 @@ def make_mac_resource_frame_bits(payload: bytes, address: int = 0x1234,
     """
     from tetraear_tpu.ops.crc import _crc_matrix, crc16_bits_arr
 
-    rng = np.random.default_rng(seed)
     if len(payload) > 20:
         raise ValueError("payload must fit the 6-bit length field margin")
-    enc_bits = [0, 1] if encrypted else [0, 0]
+    if encryption_mode is None:
+        encryption_mode = 1 if encrypted else 0
+    enc_bits = [(encryption_mode >> 1) & 1, encryption_mode & 1]
     head = np.concatenate([
         [0, 0], enc_bits, [0],
         _uint_to_bits(address, 24), _uint_to_bits(len(payload), 6),
         np.unpackbits(np.frombuffer(payload, np.uint8)) if payload else
         np.zeros(0, np.uint8)])
+    return _golden_slot_from_head(head, seed, solve_crc)
+
+
+def make_mac_end_frame_bits(part: bytes, encrypted: bool = False,
+                            seed: int = 0,
+                            solve_crc: bool = True) -> np.ndarray:
+    """A 510-bit golden slot carrying a MAC-END PDU (type 11) that closes
+    a fragmented message: 6-bit length + payload part.  Parser appends
+    `part` to the fragment buffer opened by a MAC-RESOURCE and flushes the
+    reassembled message (protocol.py:446-594 semantics,
+    tetraear_tpu/protocol/parser.py MAC_END branch)."""
+    if len(part) > 22:
+        raise ValueError("END part must fit the data region")
+    enc_bits = [0, 1] if encrypted else [0, 0]
+    head = np.concatenate([
+        [1, 1], enc_bits, [0], _uint_to_bits(len(part), 6),
+        np.unpackbits(np.frombuffer(part, np.uint8)) if part else
+        np.zeros(0, np.uint8)])
+    return _golden_slot_from_head(head, seed, solve_crc)
+
+
+def _golden_slot_from_head(head: np.ndarray, seed: int,
+                           solve_crc: bool) -> np.ndarray:
+    """Shared golden-slot assembly: random filler, GF(2) CRC solve against
+    the TS1 overlay, burst-geometry placement (see
+    make_mac_resource_frame_bits docstring for the geometry quirk)."""
+    from tetraear_tpu.ops.crc import _crc_matrix, crc16_bits_arr
+
+    rng = np.random.default_rng(seed)
     if head.size > 200:
         raise ValueError("payload too long for a single-slot golden frame")
     data = np.concatenate([head, rng.integers(0, 2, 200 - head.size)
