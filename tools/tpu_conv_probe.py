@@ -32,7 +32,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 import numpy as np  # noqa: E402
 
 PROBES = ("fused16", "s2d16", "s2d16_of4", "s2d16_of8", "s2d16_bf16",
-          "pfb96", "pfb96_s2d",
+          "s2d16_n4", "s2d16_n8", "pfb96", "pfb96_s2d",
           "pfb96_s2d_bf16", "tail16", "tail96", "cand16", "cand96",
           "front16_s2d", "front96_s2d", "split16_s2d", "split16_of4",
           "split96_s2d", "crc96", "topk96", "wingather96")
@@ -89,6 +89,23 @@ def _build(probe: str, scale: int):
             yr, yi = fused.fused_channelize_s2d_ri(xc, k, gc, L, decim)
             return jnp.sum(yr) + jnp.sum(yi)
         return (lambda: fn(x, kd)), n
+
+    if probe in ("s2d16_n4", "s2d16_n8"):
+        # block-batched s2d conv: B independent blocks as the conv's N
+        # dim in ONE dispatch — amortizes the measured 6-7 ms per-dispatch
+        # overhead (VERDICT r2 #3 lever); same total samples as s2d16
+        B = 4 if probe.endswith("n4") else 8
+        kd = jax.device_put(fused.s2d_kernel(kernel, decim))
+        nb = (n // B // decim) * decim
+
+        @jax.jit
+        def fn_batched(xc, k):
+            xb = xc[:B * nb].reshape(B, nb)
+            f = jax.vmap(lambda xx: fused.fused_channelize_s2d_ri(
+                xx, k, gc, L, decim))
+            yr, yi = f(xb)
+            return jnp.sum(yr) + jnp.sum(yi)
+        return (lambda: fn_batched(x, kd)), B * nb
 
     if probe in ("s2d16_of4", "s2d16_of8"):
         # output-folded s2d: fold consecutive output positions into the
