@@ -150,12 +150,15 @@ static void lsf_dequantize(tetra_celp_state *st, const int *idx,
     lsf_stabilize(lsf_q);
 }
 
-/* subframe LSF interpolation: prev->curr weights 3/4, 1/2, 1/4, 0 */
+/* subframe LSF interpolation: prev->curr weights 3/4, 1/2, 1/4, 0.
+ * `fresh` (first frame of a 2-frame block) uses curr for ALL subframes:
+ * the predictor reset leaves no meaningful previous spectrum, and a
+ * per-block decoder process has none either — both sides agree. */
 static void lsf_interp(const float *prev, const float *curr, int sf,
-                       float *a_out)
+                       int fresh, float *a_out)
 {
     float lsf[LP_ORDER];
-    float wp = (3 - sf) / 4.0f;
+    float wp = fresh ? 0.0f : (3 - sf) / 4.0f;
     for (int i = 0; i < LP_ORDER; ++i)
         lsf[i] = wp * prev[i] + (1.0f - wp) * curr[i];
     lsf_stabilize(lsf);
@@ -317,28 +320,23 @@ void celp_encode_frame(tetra_celp_state *st, const float *speech,
         st->hp_mem[2] = (float)y1; st->hp_mem[3] = (float)y2;
     }
 
-    /* speech_hist: [LP_ORDER past | FRAME_N current] */
-    float *sp = st->speech_hist + LP_ORDER;
-    float past[LP_ORDER];
-    memcpy(past, sp + FRAME_N - LP_ORDER, sizeof(past));
-    memmove(st->speech_hist, past, 0);   /* no-op, clarity */
-    /* shift: previous frame's tail becomes history */
-    memcpy(st->speech_hist, sp + FRAME_N - LP_ORDER,
-           LP_ORDER * sizeof(float));
+    /* speech_hist: [60 past | FRAME_N current] */
+    float *sp = st->speech_hist + 60;
+    memcpy(st->speech_hist, sp + FRAME_N - 60, 60 * sizeof(float));
     memcpy(sp, s, FRAME_N * sizeof(float));
+    int fresh = ((st->frame_index - 1) & 1) == 0;
 
     /* --- LP analysis: Hamming window over [last 60 of prev | 240] --- */
     float a_q[LP_ORDER + 1], lsf[LP_ORDER], lsf_q[LP_ORDER];
     {
-        /* analysis needs 300 samples; history buffer holds only
-         * LP_ORDER past, so keep a 60-sample copy in exc scratch:
-         * use the frame itself windowed (240) — adequate without
-         * lookahead and keeps state minimal */
-        float w[FRAME_N], r[LP_ORDER + 1], a[LP_ORDER + 1];
-        for (int n = 0; n < FRAME_N; ++n)
-            w[n] = s[n] * (0.54f - 0.46f * cosf(
-                2.0f * (float)M_PI * n / (FRAME_N - 1)));
-        autocorr(w, FRAME_N, r, LP_ORDER);
+        /* 300-sample Hamming window over [60 prev | 240 current]:
+         * spectral continuity across frames without lookahead */
+        enum { WIN = 60 + FRAME_N };
+        float w[WIN], r[LP_ORDER + 1], a[LP_ORDER + 1];
+        for (int n = 0; n < WIN; ++n)
+            w[n] = st->speech_hist[n] * (0.54f - 0.46f * cosf(
+                2.0f * (float)M_PI * n / (WIN - 1)));
+        autocorr(w, WIN, r, LP_ORDER);
         levinson(r, a, LP_ORDER);
         a_to_lsf(a, lsf, st->lsf_prev_q);
         lsf_stabilize(lsf);
@@ -379,7 +377,7 @@ void celp_encode_frame(tetra_celp_state *st, const float *speech,
         const float *ssub = s + sf * SUB_N;
         float *esub = exc + sf * SUB_N;
 
-        lsf_interp(lsf_prev_q, lsf_q, sf, a_q);
+        lsf_interp(lsf_prev_q, lsf_q, sf, fresh, a_q);
 
         /* impulse response of 1/Aq(z/gamma) */
         float ag[LP_ORDER + 1], h[SUB_N];
@@ -397,7 +395,7 @@ void celp_encode_frame(tetra_celp_state *st, const float *speech,
         float res[SUB_N], x[SUB_N];
         {
             float hist[LP_ORDER];
-            const float *ptr = st->speech_hist + LP_ORDER
+            const float *ptr = st->speech_hist + 60
                 + sf * SUB_N;           /* current subframe start */
             for (int i = 0; i < LP_ORDER; ++i)
                 hist[i] = ptr[i - LP_ORDER];
@@ -516,24 +514,44 @@ void celp_encode_frame(tetra_celp_state *st, const float *speech,
             c[p] += sbit ? 1.0f : -1.0f;
         }
 
-        /* --- fixed gain --- */
+        /* --- joint gain-pair search: argmin ||x - gp*y1 - gc*y2||^2
+         * over the 8x8 quantizer grid (5 precomputed correlations) --- */
         float y2[SUB_N];
         conv_h(c, h, y2);
-        float gc = dot(x2, y2, SUB_N) / (dot(y2, y2, SUB_N) + 1e-6f);
-        if (gc < 0.0f) gc = 0.0f;
-        float e_opt = 20.0f * log10f(gc + 1e-5f);
         float e_pred = gain_predict(st);
+        float xy1 = dot(x, best_y1, SUB_N), xy2 = dot(x, y2, SUB_N);
+        float y11 = dot(best_y1, best_y1, SUB_N);
+        float y22 = dot(y2, y2, SUB_N);
+        float y12 = dot(best_y1, y2, SUB_N);
         int gc_idx = 0;
         {
-            float bd = 1e30f;
-            for (int i = 0; i < 8; ++i) {
-                float d2 = fabsf(e_opt - (e_pred + GC_DELTA_DB[i]));
-                if (d2 < bd) {
-                    bd = d2;
-                    gc_idx = i;
+            /* block-start subframes: the 2-frame-per-exe invocation
+             * pattern (voice.py:73) gives the decoder an EMPTY adaptive
+             * codebook at each block start, so the encoder codes the
+             * first subframes innovation-heavy (gp capped), like a
+             * voiced onset — streaming and per-block decode then hear
+             * the same thing */
+            int gp_max = (fresh && sf == 0) ? 3
+                         : (fresh && sf == 1) ? 6 : 8;
+            float berr = 1e30f;
+            for (int i = 0; i < gp_max; ++i) {
+                float a1 = GP_TABLE[i];
+                for (int j = 0; j < 8; ++j) {
+                    float eq = e_pred + GC_DELTA_DB[j];
+                    if (eq < GC_MIN_DB) eq = GC_MIN_DB;
+                    float a2 = powf(10.0f, eq / 20.0f);
+                    float err = a1 * a1 * y11 + a2 * a2 * y22
+                        + 2.0f * a1 * a2 * y12
+                        - 2.0f * a1 * xy1 - 2.0f * a2 * xy2;
+                    if (err < berr) {
+                        berr = err;
+                        gp_idx = i;
+                        gc_idx = j;
+                    }
                 }
             }
         }
+        gp_q = GP_TABLE[gp_idx];
         float e_q = e_pred + GC_DELTA_DB[gc_idx];
         if (e_q < GC_MIN_DB) e_q = GC_MIN_DB;
         float gc_q = powf(10.0f, e_q / 20.0f);
@@ -585,6 +603,7 @@ void celp_decode_frame(tetra_celp_state *st,
 {
     predictor_block_reset(st);
     st->frame_index++;
+    int fresh = ((st->frame_index - 1) & 1) == 0;
     float lsf_q[LP_ORDER], lsf_prev_q[LP_ORDER];
     memcpy(lsf_prev_q, st->lsf_prev_q, sizeof(lsf_prev_q));
 
@@ -611,7 +630,7 @@ void celp_decode_frame(tetra_celp_state *st,
     for (int sf = 0; sf < SUBFRAMES; ++sf) {
         float *esub = exc + sf * SUB_N;
         float a_q[LP_ORDER + 1];
-        lsf_interp(lsf_prev_q, lsf_q, sf, a_q);
+        lsf_interp(lsf_prev_q, lsf_q, sf, fresh, a_q);
 
         int t3;
         float gp_q, gc_q, c[SUB_N];

@@ -91,7 +91,7 @@ typedef struct {
     int prev_lag;                  /* integer lag memory for relative SFs */
     int frame_index;               /* predictors reset at even frames */
     /* encoder-only */
-    float speech_hist[LP_ORDER + FRAME_N]; /* preprocessed speech w/ memory */
+    float speech_hist[60 + FRAME_N];  /* preprocessed speech w/ 60 history */
     float hp_mem[4];               /* preprocess high-pass state */
     float wsp_mem[LP_ORDER];       /* weighting filter memory */
     float synth_mem_enc[LP_ORDER]; /* local-decoder synthesis memory */
