@@ -56,9 +56,14 @@ def extract_candidates(bits: jnp.ndarray, corr: jnp.ndarray,
     start = jnp.maximum(top_pos - C.SYNC_TO_FRAME_START_BITS, 0)
     win = start[..., None] + jnp.arange(C.BITS_PER_SLOT)[None, :]
     win = jnp.minimum(win, b - 1)
-    frames = jnp.take_along_axis(
-        jnp.broadcast_to(bits[..., None, :], bits.shape[:-1] + (k, b)),
-        win, axis=-1)
+    # batched gather WITHOUT materializing the (C, K, B) broadcast of the
+    # bit streams first (at 96 channels x 64 candidates x 131k bench bits
+    # the broadcast is an ~800 MB u8 intermediate — HBM-bound, and this
+    # backend is pathologically slow on large gathers already)
+    flat_bits = bits.reshape(-1, b)
+    flat_win = win.reshape(flat_bits.shape[0], -1, C.BITS_PER_SLOT)
+    frames = jax.vmap(lambda bb, ww: bb[ww])(flat_bits, flat_win)
+    frames = frames.reshape(win.shape)
     valid = (top_corr >= threshold)
     # CRC verdicts come from the dense sliding conv (ops/crc.soft_crc_dense
     # scores EVERY window position in one 33-channel correlation); gather
