@@ -31,7 +31,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import numpy as np  # noqa: E402
 
-PROBES = ("fused16", "s2d16", "s2d16_of4", "s2d16_of8", "s2d16_bf16",
+PROBES = ("fused16", "s2d16", "s2d16_of4", "s2d16_of8", "s2d16_bf16", "s2d16_k4",
           "s2d16_n4", "s2d16_n8", "pfb96", "pfb96_s2d",
           "pfb96_s2d_bf16", "tail16", "tail96", "cand16", "cand96",
           "front16_s2d", "front96_s2d", "split16_s2d", "split16_of4",
@@ -106,6 +106,48 @@ def _build(probe: str, scale: int):
             yr, yi = f(xb)
             return jnp.sum(yr) + jnp.sum(yi)
         return (lambda: fn_batched(x, kd)), B * nb
+
+    if probe == "s2d16_k4":
+        # K-dim patch fold: 4 consecutive s2d tap positions stacked into
+        # the input-channel dim (K = 4*2D = 80) so XLA sees matmul-like
+        # contractions with a deeper K — probes whether the conv's ~29.5
+        # ms floor is the VPU-lowered conv kernel (an MXU GEMM at K=80,
+        # N=128 would beat it) at the cost of 4x input re-reads
+        P = 4
+        k2 = np.asarray(fused.s2d_kernel(kernel, decim))  # (2C, 2D, lp)
+        lp = k2.shape[-1]
+        lp_pad = -(-lp // P) * P
+        k2 = np.pad(k2, ((0, 0), (0, 0), (0, lp_pad - lp)))
+        # kernel regrouped: (2C, P*2D, lp_pad/P) — tap t = g*P + p reads
+        # x2 row (m + t), i.e. group g reads patch rows (m + g*P + p)
+        kg = k2.reshape(k2.shape[0], k2.shape[1], lp_pad // P, P)
+        kg = np.transpose(kg, (0, 3, 1, 2)).reshape(
+            k2.shape[0], P * k2.shape[1], lp_pad // P)
+        kd = jax.device_put(jnp.asarray(kg))
+
+        @jax.jit
+        def fn_k4(xc, k):
+            n_in = xc.shape[-1]
+            m_out = -(-n_in // decim)
+            pad_l = L - 1 - gc
+            total = max((m_out + lp_pad - 1) * decim,
+                        -(-(pad_l + n_in) // decim) * decim)
+            xri = jnp.stack([jnp.real(xc), jnp.imag(xc)], axis=-1)
+            xpad = jnp.pad(xri, ((pad_l, total - pad_l - n_in), (0, 0)))
+            x2 = xpad.reshape(total // decim, 2 * decim)   # (W, 2D)
+            # patch rows: x4[m, p*2D + c] = x2[m + p, c]
+            W = x2.shape[0]
+            x4 = jnp.concatenate(
+                [x2[p:W - P + 1 + p] for p in range(P)], axis=-1)
+            # kernel tap g reads x4[m + g*P] (rhs dilation restores the
+            # original tap spacing across the P-folded patches)
+            out = jax.lax.conv_general_dilated(
+                x4[None], k, (1,), ((0, 0),),
+                rhs_dilation=(P,),
+                dimension_numbers=("NWC", "OIW", "NCW"),
+                preferred_element_type=jnp.float32)[0][:, :m_out]
+            return jnp.sum(out)
+        return (lambda: fn_k4(x, kd)), n
 
     if probe in ("s2d16_of4", "s2d16_of8"):
         # output-folded s2d: fold consecutive output positions into the
