@@ -819,6 +819,78 @@ def cmd_waterfall(args) -> int:
     return 0
 
 
+def cmd_codec(args) -> int:
+    """Offline voice-codec workflows over the spec-derived executables
+    (native/codec/): encode PCM/WAV -> coded .tet blocks, decode .tet ->
+    WAV.  The operator-facing face of the chain `downlink --simulate`
+    and the voice path use internally."""
+    import wave
+
+    import numpy as np
+    from tetraear_tpu.audio.voice import VoiceEncoder, VoiceProcessor
+
+    def read_pcm(path: Path) -> np.ndarray:
+        if path.suffix.lower() == ".wav":
+            with wave.open(str(path), "rb") as w:
+                assert w.getsampwidth() == 2, "need 16-bit WAV"
+                if w.getframerate() != 8000:
+                    print(_c("yellow", f"note: {w.getframerate()} Hz WAV; "
+                                       "codec expects 8 kHz"))
+                raw = w.readframes(w.getnframes())
+            pcm = np.frombuffer(raw, np.int16)
+            with wave.open(str(path), "rb") as w:
+                if w.getnchannels() > 1:
+                    pcm = pcm.reshape(-1, w.getnchannels())[:, 0].copy()
+            return pcm
+        return np.fromfile(path, np.int16)
+
+    def write_wav(path: Path, audio: np.ndarray) -> None:
+        with wave.open(str(path), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes((np.clip(audio, -1, 1) * 32767
+                           ).astype(np.int16).tobytes())
+
+    src = Path(args.input)
+    dst = Path(args.out) if args.out else None
+    if args.direction == "encode":
+        enc = VoiceEncoder(codec_dir=args.codec_dir)
+        if not enc.working:
+            print(_c("red", "[FAIL] scoder/ccoder not found "
+                            "(make -C native/codec install)"))
+            return 1
+        pcm = read_pcm(src)
+        blocks = enc.encode_pcm(pcm)
+        if not blocks:
+            print(_c("red", "[FAIL] encode produced no blocks"))
+            return 1
+        dst = dst or src.with_suffix(".tet")
+        dst.write_bytes(b"".join(blocks))
+        print(_c("green", f"[OK] {len(pcm)} samples "
+                          f"({len(pcm) / 8000:.2f} s) -> {len(blocks)} "
+                          f"coded TCH/S blocks -> {dst}"))
+        return 0
+
+    vp = VoiceProcessor(codec_dir=args.codec_dir)
+    if not vp.working:
+        print(_c("red", "[FAIL] cdecoder/sdecoder not found "
+                        "(make -C native/codec install)"))
+        return 1
+    raw = src.read_bytes()
+    nblk = len(raw) // 1380
+    blocks = [raw[i * 1380:(i + 1) * 1380] for i in range(nblk)]
+    audio = vp.decode_stream(blocks)
+    if audio.size == 0:
+        print(_c("red", "[FAIL] no decodable blocks"))
+        return 1
+    dst = dst or src.with_suffix(".wav")
+    write_wav(dst, audio)
+    print(_c("green", f"[OK] {nblk} blocks -> {audio.size} PCM samples "
+                      f"({audio.size / 8000:.2f} s) -> {dst}"))
+    return 0
+
+
 def cmd_devices(_args) -> int:
     from tetraear_tpu.io.capture import BLADERF_AVAILABLE, list_bladerf_devices
     if not BLADERF_AVAILABLE:
@@ -1015,6 +1087,18 @@ def main(argv=None) -> int:
     p_wf.add_argument("--denoise", action=argparse.BooleanOptionalAction,
                       default=True, help="IIR spectrum denoiser (alpha=0.15)")
     p_wf.set_defaults(func=cmd_waterfall)
+
+    p_cod = sub.add_parser("codec",
+                           help="offline ACELP codec: PCM/WAV <-> coded "
+                                ".tet blocks")
+    p_cod.add_argument("direction", choices=["encode", "decode"])
+    p_cod.add_argument("input", type=str,
+                       help="encode: .wav/.pcm (16-bit 8 kHz); "
+                            "decode: .tet (690-short blocks)")
+    p_cod.add_argument("-o", "--out", type=str, default=None)
+    p_cod.add_argument("--codec-dir", type=str, default=None,
+                       help="override codec binary directory")
+    p_cod.set_defaults(func=cmd_codec)
 
     p_dev = sub.add_parser("devices", help="list BladeRF devices")
     p_dev.set_defaults(func=cmd_devices)
