@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from tetraear_tpu import constants as C
 from tetraear_tpu.config import ReceiverConfig
 from tetraear_tpu.ops import channelizer, dqpsk, fir, sync, timing
-from tetraear_tpu.ops.crc import soft_crc_dense
+from tetraear_tpu.ops.crc import soft_crc_check_batch
 
 
 class MulticarrierResult(NamedTuple):
@@ -65,17 +65,18 @@ def extract_candidates(bits: jnp.ndarray, corr: jnp.ndarray,
     frames = jax.vmap(lambda bb, ww: bb[ww])(flat_bits, flat_win)
     frames = frames.reshape(win.shape)
     valid = (top_corr >= threshold)
-    # CRC verdicts come from the dense sliding conv (ops/crc.soft_crc_dense
-    # scores EVERY window position in one 33-channel correlation); gather
-    # just the K candidate verdicts.  Verdicts at invalid (clamped)
-    # candidates are meaningless either way — masked by `valid`.
-    ok_dense = soft_crc_dense(bits)                       # (..., B-229)
-    p = ok_dense.shape[-1]
-    if p == 0:
-        crc_ok = jnp.zeros(valid.shape, bool)
-    else:
-        crc_ok = jnp.take_along_axis(ok_dense,
-                                     jnp.minimum(start, p - 1), axis=-1)
+    # CRC verdicts straight from the gathered candidate frames: the data
+    # region (window offsets [0,108) u [122,230), sync-overlap geometry)
+    # through the batched GF(2)-matmul soft check.  The previous dense
+    # sliding-conv CRC scored EVERY window position — ~190 GFLOP at the
+    # 96-channel bench shape for verdicts only K candidates consume
+    # (measured 64 ms, the whole pipeline's slowest stage); this is the
+    # same verdict function on the same windows at ~1/2000th the FLOPs.
+    # Verdicts at invalid (clamped) candidates are masked by `valid`.
+    data_bits = jnp.concatenate(
+        [frames[..., C.BURST_BLOCK1[0]:C.BURST_BLOCK1[1]],
+         frames[..., C.BURST_BLOCK2[0]:C.BURST_BLOCK2[1]]], axis=-1)
+    crc_ok = soft_crc_check_batch(data_bits)
     return top_pos.astype(jnp.int32), top_corr, valid, frames.astype(jnp.uint8), crc_ok
 
 
