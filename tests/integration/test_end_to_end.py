@@ -251,6 +251,55 @@ class TestCLI:
         assert "bits" not in rows[0]
         assert rows[0]["mac_pdu"]["data"] == bytes(b"HELLO HELLO").hex()
 
+    def test_waterfall_subcommand(self, golden_iq, tmp_path):
+        """`waterfall <iq> -o x.png` writes a spec-valid PNG of the
+        capture (the headless pixel surface, MIGRATION.md GUI map)."""
+        out = tmp_path / "wf.png"
+        result = subprocess.run(
+            [sys.executable, "-m", "tetraear_tpu", "waterfall",
+             str(golden_iq), "-o", str(out), "--rows", "32"],
+            capture_output=True, text=True, timeout=300,
+            env={**__import__("os").environ, "PYTHONPATH": str(REPO),
+                 "TETRAEAR_TPU_LOG_DIR": str(tmp_path / "logs"),
+                 "JAX_PLATFORMS": "cpu"},
+            cwd=str(tmp_path))
+        assert result.returncode == 0, result.stderr[-2000:]
+        d = out.read_bytes()
+        assert d[:8] == b"\x89PNG\r\n\x1a\n"
+        import struct
+        w, h = struct.unpack(">II", d[16:24])
+        assert (w, h) == (2048, 32)
+
+    def test_codec_subcommand_roundtrip(self, tmp_path):
+        """`codec encode` + `codec decode` through the real spec-derived
+        executables: PCM -> .tet blocks -> WAV with sane duration."""
+        import wave
+
+        from tetraear_tpu.utils.synth import make_test_speech
+        pcm_path = tmp_path / "sp.pcm"
+        make_test_speech(0.5).tofile(pcm_path)
+        env = {**__import__("os").environ, "PYTHONPATH": str(REPO),
+               "TETRAEAR_TPU_LOG_DIR": str(tmp_path / "logs"),
+               "JAX_PLATFORMS": "cpu"}
+        r1 = subprocess.run(
+            [sys.executable, "-m", "tetraear_tpu", "codec", "encode",
+             str(pcm_path), "-o", str(tmp_path / "sp.tet")],
+            capture_output=True, text=True, timeout=300, env=env,
+            cwd=str(tmp_path))
+        if "not found" in r1.stdout:
+            pytest.skip("codec binaries not built")
+        assert r1.returncode == 0, r1.stderr[-2000:]
+        assert (tmp_path / "sp.tet").stat().st_size % 1380 == 0
+        r2 = subprocess.run(
+            [sys.executable, "-m", "tetraear_tpu", "codec", "decode",
+             str(tmp_path / "sp.tet"), "-o", str(tmp_path / "sp.wav")],
+            capture_output=True, text=True, timeout=300, env=env,
+            cwd=str(tmp_path))
+        assert r2.returncode == 0, r2.stderr[-2000:]
+        with wave.open(str(tmp_path / "sp.wav")) as w:
+            assert w.getframerate() == 8000
+            assert w.getnframes() >= 4000    # >= the input duration
+
     @pytest.mark.slow
     def test_listen_subcommand_replay(self, golden_iq, tmp_path):
         result = subprocess.run(
