@@ -52,7 +52,28 @@ def extract_candidates(bits: jnp.ndarray, corr: jnp.ndarray,
                     + C.BITS_PER_SLOT <= valid_bits[..., None]))
     in_bounds = jnp.broadcast_to(in_bounds.reshape(corr.shape), corr.shape)
     masked = jnp.where(in_bounds, corr, -1.0)
-    top_corr, top_pos = jax.lax.top_k(masked, k)          # (..., K)
+    # hierarchical top-K: segment-max reduce, then top_k over the ~1000
+    # segment maxima, then refine to the in-segment argmax.  lax.top_k
+    # over the full (C, 131k) bench stream measured ~20-30 ms (and hangs
+    # standalone on this backend); the reduce+small-topk is a few ms.
+    # True syncs are >=510 bits apart so a 128-bit segment holds at most
+    # one — the only semantic change is that near-duplicate positions of
+    # the SAME sync (+/-1-bit 20/22 matches) collapse to the best one,
+    # which downstream consumers prefer anyway.
+    seg = 128
+    n_seg = -(-ncorr // seg)
+    if n_seg < 4 * k:
+        # small blocks: plain top_k is cheap and k may exceed n_seg
+        top_corr, top_pos = jax.lax.top_k(masked, k)      # (..., K)
+    else:
+        padded = jnp.pad(masked, [(0, 0)] * (masked.ndim - 1)
+                         + [(0, n_seg * seg - ncorr)], constant_values=-1.0)
+        segs = padded.reshape(masked.shape[:-1] + (n_seg, seg))
+        seg_max = segs.max(axis=-1)
+        seg_arg = segs.argmax(axis=-1).astype(jnp.int32)
+        top_corr, top_seg = jax.lax.top_k(seg_max, k)     # (..., K)
+        top_pos = (top_seg * seg
+                   + jnp.take_along_axis(seg_arg, top_seg, axis=-1))
     start = jnp.maximum(top_pos - C.SYNC_TO_FRAME_START_BITS, 0)
     win = start[..., None] + jnp.arange(C.BITS_PER_SLOT)[None, :]
     win = jnp.minimum(win, b - 1)
