@@ -394,3 +394,59 @@ class TestSpaceToDepth:
         assert a.shape == b.shape
         scale = np.abs(a).mean() + 1e-12
         assert np.abs(a - b).max() / scale < 1e-5
+
+
+class TestExtractCandidates:
+    def test_hierarchical_selection_finds_planted_syncs(self, rng):
+        """The segment-max hierarchical top-K (large-stream path,
+        n_seg >= 4K) must recover every planted sync position exactly,
+        with CRC verdicts equal to the host oracle."""
+        import jax.numpy as jnp
+
+        from tetraear_tpu import constants as C
+        from tetraear_tpu.models.multicarrier import extract_candidates
+        from tetraear_tpu.ops import sync as sync_ops
+        from tetraear_tpu.ops.crc import soft_crc_check_host
+        from tetraear_tpu.utils import synth
+
+        k = 8
+        planted = [1000, 6000, 25000, 60000, 100000]
+        bits = rng.integers(0, 2, 140_000).astype(np.uint8)
+        for i, at in enumerate(planted):
+            slot = synth.make_mac_resource_frame_bits(
+                b"HELLO HELLO", seed=100 + i)
+            bits[at:at + 510] = slot
+        bj = jnp.asarray(bits[None])
+        corr = sync_ops.best_correlation(bj)
+        assert corr.shape[-1] >= 4 * k * 128      # hierarchical path
+        pos, ccorr, valid, frames, crc_ok = extract_candidates(
+            bj, corr, jnp.asarray([bits.size]), k, 0.95)
+        got = set(np.asarray(pos)[0][np.asarray(valid)[0]].tolist())
+        want = {at + 216 for at in planted}
+        assert want <= got, (sorted(got), sorted(want))
+        # verdicts match the host oracle on the same windows
+        for j in range(k):
+            if not bool(np.asarray(valid)[0][j]):
+                continue
+            f = np.asarray(frames)[0, j]
+            data = np.concatenate([f[:108], f[122:230]])
+            assert bool(np.asarray(crc_ok)[0, j]) == soft_crc_check_host(
+                data)
+
+    def test_small_stream_plain_topk_path(self, rng):
+        """Streams too short for segmentation use plain top_k and still
+        find the planted sync."""
+        import jax.numpy as jnp
+
+        from tetraear_tpu.models.multicarrier import extract_candidates
+        from tetraear_tpu.ops import sync as sync_ops
+        from tetraear_tpu.utils import synth
+
+        bits = rng.integers(0, 2, 1200).astype(np.uint8)
+        bits[300:810] = synth.make_mac_resource_frame_bits(b"HI", seed=7)
+        bj = jnp.asarray(bits[None])
+        corr = sync_ops.best_correlation(bj)
+        pos, _, valid, _, _ = extract_candidates(
+            bj, corr, jnp.asarray([bits.size]), 64, 0.95)
+        got = set(np.asarray(pos)[0][np.asarray(valid)[0]].tolist())
+        assert 516 in got
