@@ -1,0 +1,34 @@
+#!/usr/bin/env bash
+# Health-gated TPU measurement runner: wait for a FULLY healthy window
+# (tools/tpu_health.py "verdict: healthy" — an f32-only probe passes in
+# windows where top_k/gather-class programs still hang, see CLAUDE.md),
+# then run the requested probes and/or bench under the shared device
+# lock, then exit.
+#
+# Usage:
+#   bash tools/measure_watch.sh                      # full bench only
+#   bash tools/measure_watch.sh cand96 s2d16_of4     # probes, then bench
+#
+# Writes progress to stdout; run under nohup/tmux for long waits.
+set -u
+cd "$(dirname "$0")/.."
+PROBES=("$@")
+for attempt in $(seq 1 90); do
+  if flock -w 7200 /tmp/tetraear_tpu_device.lock \
+       timeout 400 python tools/tpu_health.py >/tmp/measure_health.txt 2>&1 \
+     && grep -q "verdict: healthy" /tmp/measure_health.txt; then
+    echo "=== healthy at $(date +%H:%M:%S) ==="
+    for p in ${PROBES[@]+"${PROBES[@]}"}; do
+      timeout 700 python tools/tpu_conv_probe.py --probe "$p" --scale 8
+    done
+    echo "=== full bench ==="
+    timeout 3600 python bench.py 2>/tmp/measure_bench.err
+    grep "tier" /tmp/measure_bench.err
+    exit 0
+  fi
+  echo "not healthy $(date +%H:%M:%S) ($attempt): \
+$(grep verdict /tmp/measure_health.txt | head -1)"
+  sleep 240
+done
+echo "no healthy window in $attempt attempts"
+exit 1
