@@ -248,6 +248,22 @@ static void gain_update(tetra_celp_state *st, float delta_db)
     st->energy_hist[0] = delta_db;
 }
 
+/* pitch sharpening: inject periodicity into the innovation (standard
+ * ACELP enhancement).  beta from the PREVIOUS subframe's quantized
+ * adaptive gain and the CURRENT decoded lag — both known to encoder
+ * and decoder before the innovation is used, so the two sides build
+ * identical excitation. */
+static void pitch_sharpen(float *c, int lag, float prev_gp)
+{
+    float beta = 0.85f * prev_gp;
+    if (beta <= 0.0f)
+        return;
+    if (beta > 0.8f)
+        beta = 0.8f;
+    for (int n = lag; n < SUB_N; ++n)
+        c[n] += beta * c[n - lag];
+}
+
 /* algebraic codebook: 3 pulses on tracks (sf+j)%4, positions t+4m */
 static void code_decode(int sf, int pos_idx[3], int sign_bits,
                         float *c)
@@ -275,6 +291,7 @@ static void predictor_block_reset(tetra_celp_state *st)
             st->lsf_prev_q[i] = LSF_MEAN[i];
         for (int i = 0; i < 4; ++i)
             st->energy_hist[i] = 0.0f;
+        st->gp_prev_q = 0.0f;      /* sharpening off at block starts */
     }
 }
 
@@ -457,21 +474,27 @@ void celp_encode_frame(tetra_celp_state *st, const float *speech,
         }
         float gp_q = GP_TABLE[gp_idx];
 
-        /* --- algebraic codebook search --- */
+        /* --- algebraic codebook search (pitch-sharpened impulse
+         * response: the search and the synthesis see the same
+         * sharpened innovation) --- */
+        int lag_sh = T_int;
+        float h_sh[SUB_N];
+        memcpy(h_sh, h, sizeof(h_sh));
+        pitch_sharpen(h_sh, lag_sh, st->gp_prev_q);
         float x2[SUB_N], d[SUB_N], phi[SUB_N][SUB_N];
         for (int n = 0; n < SUB_N; ++n)
             x2[n] = x[n] - gp_q * best_y1[n];
         for (int i = 0; i < SUB_N; ++i) {
             double acc = 0.0;
             for (int n = i; n < SUB_N; ++n)
-                acc += (double)x2[n] * h[n - i];
+                acc += (double)x2[n] * h_sh[n - i];
             d[i] = (float)acc;
         }
         for (int i = 0; i < SUB_N; ++i)
             for (int j = i; j < SUB_N; ++j) {
                 double acc = 0.0;
                 for (int n = j; n < SUB_N; ++n)
-                    acc += (double)h[n - i] * h[n - j];
+                    acc += (double)h_sh[n - i] * h_sh[n - j];
                 phi[i][j] = phi[j][i] = (float)acc;
             }
         int tr[3] = {sf & 3, (sf + 1) & 3, (sf + 2) & 3};
@@ -513,6 +536,7 @@ void celp_encode_frame(tetra_celp_state *st, const float *speech,
             signs |= sbit << (2 - j);
             c[p] += sbit ? 1.0f : -1.0f;
         }
+        pitch_sharpen(c, lag_sh, st->gp_prev_q);
 
         /* --- joint gain-pair search: argmin ||x - gp*y1 - gc*y2||^2
          * over the 8x8 quantizer grid (5 precomputed correlations) --- */
@@ -556,6 +580,7 @@ void celp_encode_frame(tetra_celp_state *st, const float *speech,
         if (e_q < GC_MIN_DB) e_q = GC_MIN_DB;
         float gc_q = powf(10.0f, e_q / 20.0f);
         gain_update(st, GC_DELTA_DB[gc_idx]);
+        st->gp_prev_q = gp_q;
 
         /* --- build excitation, update AbS memory --- */
         float diff[SUB_N];
@@ -651,6 +676,7 @@ void celp_decode_frame(tetra_celp_state *st,
                 pos[j] = get_bits(bits, off + 4 * j, 4);
             int signs = get_bits(bits, off + 12, 3);
             code_decode(sf, pos, signs, c);
+            pitch_sharpen(c, t3 / 3, st->gp_prev_q);
 
             gp_q = GP_TABLE[gp_idx];
             float e_q = gain_predict(st) + GC_DELTA_DB[gc_idx];
@@ -659,6 +685,7 @@ void celp_decode_frame(tetra_celp_state *st,
             gain_update(st, GC_DELTA_DB[gc_idx]);
             st->gp_conceal = gp_q;
             st->gc_conceal = gc_q;
+            st->gp_prev_q = gp_q;
         } else {
             t3 = 3 * st->prev_lag;
             gp_q = st->gp_conceal * 0.9f;

@@ -89,6 +89,7 @@ typedef struct {
     float energy_hist[4];          /* quantized fixed-gain energies, dB */
     float exc[PIT_MAX + SUB_N + FRAME_N]; /* excitation history + frame */
     int prev_lag;                  /* integer lag memory for relative SFs */
+    float gp_prev_q;               /* prev subframe adaptive gain (sharpening) */
     int frame_index;               /* predictors reset at even frames */
     /* encoder-only */
     float speech_hist[60 + FRAME_N];  /* preprocessed speech w/ 60 history */
