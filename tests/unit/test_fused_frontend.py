@@ -156,7 +156,7 @@ class TestFusedPfb:
         # channels slice near-zero samples whose hard decisions are
         # fp-order chaotic — no meaningful contract there
         ch = 2
-        for variant in (True, "s2d"):
+        for variant in (True, "s2d", "s2d_mono"):
             b = PfbMulticarrierFrontend(fused=variant)(x)
             bv = np.asarray(b.cand_valid)
             np.testing.assert_array_equal(av, bv)

@@ -381,7 +381,7 @@ class PfbMulticarrierFrontend:
             sps = cfg.ref_samples_per_symbol
             z_rot = fused.symbol_rotation(rot_np, decim, sps)
 
-            if self.fused == "s2d":
+            if self.fused in ("s2d", "s2d_mono"):
                 # the 16-carrier bench path's two wins, applied to the
                 # full-band tier (BENCH_r02's weak spot, 49 MS/s):
                 # (1) space-to-depth stride-1 conv (decimation folded
@@ -389,10 +389,24 @@ class PfbMulticarrierFrontend:
                 #     took the 16-carrier conv from ~100 to 239 MS/s),
                 # (2) conv and demod tail as TWO dispatched programs so
                 #     consecutive blocks pipeline (steady state = slowest
-                #     stage, not the sum).
+                #     stage, not the sum).  "s2d_mono" keeps them in ONE
+                #     program — at 96 channels the split programs were
+                #     measured NOT to overlap (the 638 MB channel-pair
+                #     handoff between programs serializes on this
+                #     backend), so the monolith avoids one dispatch.
                 L = kernel.shape[-1]
                 kernel_dev = jax.device_put(fused.s2d_kernel(kernel,
                                                              decim))
+
+                if self.fused == "s2d_mono":
+                    @jax.jit
+                    def front_mono(x, kern):
+                        yr, yi = fused.fused_channelize_s2d_ri(
+                            x, kern, gc, L, decim)
+                        res = _demod_from_pair(yr, yi, sps, z_rot=z_rot)
+                        return res.bits, res.sync_corr, res.count
+                    return _assemble(
+                        lambda x: front_mono(x, kernel_dev))
 
                 @jax.jit
                 def conv_prog(x, kern):
