@@ -266,10 +266,28 @@ def cmd_uplink(args) -> int:
                 ssi=0x777),
         ]
         if args.continuous:
-            # slot-synchronous simulation: bursts on the TDMA grid
+            # slot-synchronous simulation: signalling on odd slots, and
+            # (when the codec is built) REAL ACELP-coded speech on TN3
+            # (anchor 1:1:1 -> TN = k%4 + 1, slots 2, 6, 10, ...) — the
+            # uplink mirror of `downlink --simulate` voice
+            from tetraear_tpu.ops import channel_coding as cc_ops
             slot_map = {2 * i + 1: b for i, b in enumerate(bursts_tx)
                         if b.size <= 510}
-            iq = tx.transmit_slots(slot_map, 2 * len(bursts_tx) + 2,
+            n_slots = 2 * len(bursts_tx) + 2
+            from tetraear_tpu.audio.voice import VoiceEncoder
+            venc = VoiceEncoder()
+            voice_slots = [k for k in range(n_slots) if k % 4 == 2]
+            if venc.working and voice_slots:
+                from tetraear_tpu.utils.synth import make_test_speech
+                voc = venc.encode_pcm_bits(
+                    make_test_speech(0.06 * len(voice_slots) + 0.06)
+                )[:len(voice_slots)]
+                t5 = cc_ops.encode_tch(voc, "TCH/S", ecc30=ecc)
+                for k, blk in zip(voice_slots, t5):
+                    slot_map[k] = tx.traffic_nub(blk)
+                print(f"[SIM] TN3 carries {len(t5)} uplink TCH/S blocks "
+                      "of real ACELP-coded speech")
+            iq = tx.transmit_slots(slot_map, n_slots,
                                    lead_bits=120, snr_db=args.snr_db,
                                    seed=2)
         else:
@@ -287,7 +305,9 @@ def cmd_uplink(args) -> int:
     if args.continuous:
         from tetraear_tpu.models.uplink import UplinkSlotMonitor
         anchor = tuple(int(v) for v in args.anchor.split(":"))
-        frames = UplinkSlotMonitor(ecc, anchor=anchor).receive(iq)
+        frames = UplinkSlotMonitor(
+            ecc, anchor=anchor,
+            traffic_tns={3: "TCH/S"}).receive(iq)
     else:
         frames = UplinkMonitor(ecc).receive(iq)
     dt = time.time() - t0
@@ -317,6 +337,18 @@ def cmd_uplink(args) -> int:
     if out:
         out.close()
         print(f"[OUT] {args.out_jsonl}")
+    voice_seq = [f.voice_block for f in frames
+                 if getattr(f, "voice_block", None)]
+    if voice_seq:
+        from tetraear_tpu.audio.voice import VoiceProcessor
+        vp = VoiceProcessor()
+        if vp.working:
+            import numpy as _np
+            audio = vp.decode_stream(voice_seq)
+            amp = float(_np.abs(audio).max()) if audio.size else 0.0
+            print(f"[VOICE] {len(voice_seq)} uplink blocks -> "
+                  f"{audio.size} PCM samples ({audio.size / 8000:.2f} s, "
+                  f"peak {amp:.3f}) via ACELP synthesis")
     print(f"[DONE] {len(frames)} uplink bursts "
           f"[{len(iq)/max(dt,1e-9)/1e6:.2f} MS/s]")
     return 0
