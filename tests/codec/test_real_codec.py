@@ -214,6 +214,32 @@ class TestChannelCodec:
         assert bfis >= 6
 
 
+class TestInvocationModes:
+    def test_cdecoder_is_stateless_per_block(self, codec_dir, speech_pcm,
+                                             tmp_path):
+        """The channel decoder must produce byte-identical serial output
+        whether invoked once over N blocks or once per block — the
+        contract that makes per-block decode_frame and batched
+        decode_stream interchangeable at the bit level (only the speech
+        synthesizer carries cross-block state)."""
+        pcm_in = tmp_path / "in.pcm"
+        pcm_in.write_bytes(speech_pcm.tobytes())
+        _run(codec_dir / "scoder", pcm_in, tmp_path / "s.serial", tmp_path)
+        _run(codec_dir / "ccoder", tmp_path / "s.serial",
+             tmp_path / "s.tet", tmp_path)
+        raw = (tmp_path / "s.tet").read_bytes()
+        _run(codec_dir / "cdecoder", tmp_path / "s.tet",
+             tmp_path / "batch.serial", tmp_path)
+        batch = (tmp_path / "batch.serial").read_bytes()
+        per = b""
+        for i in range(len(raw) // 1380):
+            (tmp_path / "one.tet").write_bytes(raw[i * 1380:(i + 1) * 1380])
+            _run(codec_dir / "cdecoder", tmp_path / "one.tet",
+                 tmp_path / "one.serial", tmp_path)
+            per += (tmp_path / "one.serial").read_bytes()
+        assert per == batch
+
+
 class TestFullVoiceChain:
     def test_over_the_air_speech(self, codec_dir, speech_pcm):
         """PCM -> scoder+ccoder -> ETSI downlink TX -> blind RX ->
