@@ -158,8 +158,11 @@ def _run_tier(tier: str, num_carriers: int, scale: int, iters: int):
             cfg, num_candidates=64, threshold=0.80,
             # space-to-depth dense conv + split dispatch on accelerators
             # (the 16-carrier tier's wins applied full-band); the gather
-            # form wins on CPU (the dense kernel does C x the FLOPs)
-            fused="s2d" if jax.default_backend() != "cpu" else False)
+            # form wins on CPU (the dense kernel does C x the FLOPs).
+            # BENCH_PFB_VARIANT=s2d_mono fuses conv+tail into one program
+            # (the 96-channel split was measured NOT to overlap).
+            fused=(os.environ.get("BENCH_PFB_VARIANT", "s2d")
+                   if jax.default_backend() != "cpu" else False))
         xs = [put_complex(x) for x in xs_np]
         return _verified_rate(pfb, digest, xs, n, iters), \
             "pfb_demod_decode", 96
