@@ -44,8 +44,8 @@ class ReceiverConfig:
     symbol_rate_hz: float = C.SYMBOL_RATE_HZ
 
     # FIR approximation orders for ref-compat
-    decim_fir_taps_per_phase: int = 16   # prototype length = taps * decim
-    channel_fir_taps: int = 129
+    decim_fir_taps_per_phase: int = 12   # prototype length = taps * decim
+    channel_fir_taps: int = 65
 
     # --- etsi profile parameters ---
     etsi_sps: int = 4                    # samples per symbol after resample
