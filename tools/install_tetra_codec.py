@@ -58,7 +58,9 @@ def fix_makefiles(root: Path) -> None:
 
 def build(src_root: Path) -> list[Path]:
     built = []
-    for mk in src_root.rglob("makefile"):
+    makefiles = [p for p in src_root.rglob("*")
+                 if p.name.lower() == "makefile"]
+    for mk in makefiles:
         workdir = mk.parent
         print(f"[*] make in {workdir}")
         result = subprocess.run(["make", "-C", str(workdir)],
