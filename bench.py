@@ -49,6 +49,18 @@ TIER_TIMEOUT_S = 900.0           # child budget incl. remote compile (~3 min);
 TIERS = ("fused_s2d_of", "fused_s2d", "fused", "complex", "pfb",
          "realpair64", "realpair0", "single")
 
+_PFB_VARIANTS = ("s2d", "s2d_mono")
+
+
+def _pfb_variant() -> str:
+    """BENCH_PFB_VARIANT, validated — an unknown value must fail loudly,
+    not silently select the legacy fused path and mislabel the result."""
+    v = os.environ.get("BENCH_PFB_VARIANT", "s2d")
+    if v not in _PFB_VARIANTS:
+        raise SystemExit(f"[bench] BENCH_PFB_VARIANT={v!r} invalid; "
+                         f"choose from {_PFB_VARIANTS}")
+    return v
+
 
 def _verified_rate(step_fn, digest_fn, inputs, n: int, iters: int) -> float:
     """Time `iters` pipeline steps ending with a scalar-digest D2H (the only
@@ -161,8 +173,8 @@ def _run_tier(tier: str, num_carriers: int, scale: int, iters: int):
             # form wins on CPU (the dense kernel does C x the FLOPs).
             # BENCH_PFB_VARIANT=s2d_mono fuses conv+tail into one program
             # (the 96-channel split was measured NOT to overlap).
-            fused=(os.environ.get("BENCH_PFB_VARIANT", "s2d")
-                   if jax.default_backend() != "cpu" else False))
+            fused=(_pfb_variant() if jax.default_backend() != "cpu"
+                   else False))
         xs = [put_complex(x) for x in xs_np]
         return _verified_rate(pfb, digest, xs, n, iters), \
             "pfb_demod_decode", 96

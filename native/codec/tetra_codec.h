@@ -94,8 +94,6 @@ typedef struct {
     /* encoder-only */
     float speech_hist[60 + FRAME_N];  /* preprocessed speech w/ 60 history */
     float hp_mem[4];               /* preprocess high-pass state */
-    float wsp_mem[LP_ORDER];       /* weighting filter memory */
-    float synth_mem_enc[LP_ORDER]; /* local-decoder synthesis memory */
     float w_err_mem[LP_ORDER];     /* weighted-error filter memory */
     /* decoder-only */
     float synth_mem[LP_ORDER];

@@ -39,6 +39,18 @@ codec_logger = logging.getLogger("tetraear_tpu.codec")
 _CODEC_TIMEOUT_S = 5
 
 
+def _stream_timeout_s(input_bytes: int) -> float:
+    """Subprocess budget for whole-stream codec invocations.
+
+    The reference's 5 s is a PER-FRAME timeout (voice.py:124); the
+    streaming paths (decode_stream, encode_pcm) feed arbitrarily long
+    inputs through one invocation, where a fixed 5 s becomes a silent
+    ~6-minute input cap.  Scale with input size: measured ~0.45 s per
+    30 s of audio (~1 s/MB), budgeted at 5 s/MB + the 5 s base.  For a
+    single 1380-byte frame this stays the contract's 5 s."""
+    return _CODEC_TIMEOUT_S + input_bytes / 2e5
+
+
 def _find_exe(directory: Path, stem: str) -> Path:
     """Prefer the native binary; fall back to the .exe name."""
     native = directory / stem
@@ -178,7 +190,8 @@ class VoiceProcessor:
             result = subprocess.run(
                 [str(exe), str(inp.resolve()), str(outp.resolve())],
                 stdout=subprocess.PIPE, stderr=subprocess.PIPE,
-                check=False, timeout=_CODEC_TIMEOUT_S)
+                check=False,
+                timeout=_stream_timeout_s(inp.stat().st_size))
         except subprocess.TimeoutExpired:
             codec_logger.debug("%s timed out", exe.name)
             return False
@@ -242,7 +255,8 @@ class VoiceEncoder:
                 result = subprocess.run(
                     [str(exe), str(inp.resolve()), str(outp.resolve())],
                     stdout=subprocess.PIPE, stderr=subprocess.PIPE,
-                    check=False, timeout=_CODEC_TIMEOUT_S)
+                    check=False,
+                    timeout=_stream_timeout_s(inp.stat().st_size))
                 if result.returncode != 0 or not outp.exists():
                     return []
             raw = tet_path.read_bytes()

@@ -833,7 +833,7 @@ def cmd_waterfall(args) -> int:
         print(_c("red", "[FAIL] capture shorter than one FFT frame"))
         return 1
 
-    buf = WaterfallBuffer(denoise=args.denoise)
+    buf = WaterfallBuffer(denoise=args.denoise, history=rows)
     freqs = np.zeros(n_fft)   # buffer keys rows by time only
     for row in power[:rows]:
         buf.update_spectrum(freqs, row)
@@ -868,11 +868,11 @@ def cmd_codec(args) -> int:
                 if w.getframerate() != 8000:
                     print(_c("yellow", f"note: {w.getframerate()} Hz WAV; "
                                        "codec expects 8 kHz"))
+                channels = w.getnchannels()
                 raw = w.readframes(w.getnframes())
             pcm = np.frombuffer(raw, np.int16)
-            with wave.open(str(path), "rb") as w:
-                if w.getnchannels() > 1:
-                    pcm = pcm.reshape(-1, w.getnchannels())[:, 0].copy()
+            if channels > 1:
+                pcm = pcm.reshape(-1, channels)[:, 0].copy()
             return pcm
         return np.fromfile(path, np.int16)
 
@@ -909,9 +909,11 @@ def cmd_codec(args) -> int:
         print(_c("red", "[FAIL] cdecoder/sdecoder not found "
                         "(make -C native/codec install)"))
         return 1
+    from tetraear_tpu import constants as C
     raw = src.read_bytes()
-    nblk = len(raw) // 1380
-    blocks = [raw[i * 1380:(i + 1) * 1380] for i in range(nblk)]
+    blk = C.CODEC_BLOCK_BYTES
+    nblk = len(raw) // blk
+    blocks = [raw[i * blk:(i + 1) * blk] for i in range(nblk)]
     audio = vp.decode_stream(blocks)
     if audio.size == 0:
         print(_c("red", "[FAIL] no decodable blocks"))

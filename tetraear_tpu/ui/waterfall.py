@@ -29,8 +29,11 @@ class WaterfallBuffer:
     HISTORY = 200
     DENOISE_ALPHA = 0.15
 
-    def __init__(self, denoise: bool = True):
-        self.history: deque = deque(maxlen=self.HISTORY)
+    def __init__(self, denoise: bool = True, history: int | None = None):
+        # history overrides the GUI's 200-row deque for offline renders
+        # (e.g. `waterfall --rows 1000`), where the cap would silently
+        # truncate the export to the last 200 rows
+        self.history: deque = deque(maxlen=history or self.HISTORY)
         self.denoise = denoise
         self._smoothed: Optional[np.ndarray] = None
         self.current_freqs: Optional[np.ndarray] = None

@@ -2,8 +2,11 @@
 # Health-gated TPU measurement runner: wait for a FULLY healthy window
 # (tools/tpu_health.py "verdict: healthy" — an f32-only probe passes in
 # windows where top_k/gather-class programs still hang, see CLAUDE.md),
-# then run the requested probes and/or bench under the shared device
-# lock, then exit.
+# then run the requested probes and the bench, all under ONE hold of the
+# shared device lock so nothing can wedge the device between the health
+# verdict and the measurements.  Probes/bench honor the holder protocol
+# (TETRAEAR_DEVLOCK_HELD=1 makes their internal device_measure_lock a
+# no-op — utils/backend.py).
 #
 # Usage:
 #   bash tools/measure_watch.sh                      # full bench only
@@ -15,15 +18,23 @@ cd "$(dirname "$0")/.."
 PROBES=("$@")
 for attempt in $(seq 1 90); do
   if flock -w 7200 /tmp/tetraear_tpu_device.lock \
-       timeout 400 python tools/tpu_health.py >/tmp/measure_health.txt 2>&1 \
-     && grep -q "verdict: healthy" /tmp/measure_health.txt; then
-    echo "=== healthy at $(date +%H:%M:%S) ==="
-    for p in ${PROBES[@]+"${PROBES[@]}"}; do
-      timeout 700 python tools/tpu_conv_probe.py --probe "$p" --scale 8
-    done
-    echo "=== full bench ==="
-    timeout 3600 python bench.py 2>/tmp/measure_bench.err
-    grep "tier" /tmp/measure_bench.err
+       env TETRAEAR_DEVLOCK_HELD=1 bash -s -- ${PROBES[@]+"${PROBES[@]}"} \
+       <<'INNER'
+set -u
+if ! timeout 400 python tools/tpu_health.py >/tmp/measure_health.txt 2>&1 \
+   || ! grep -q "verdict: healthy" /tmp/measure_health.txt; then
+  exit 1
+fi
+echo "=== healthy at $(date +%H:%M:%S) ==="
+for p in "$@"; do
+  timeout 700 python tools/tpu_conv_probe.py --probe "$p" --scale 8
+done
+echo "=== full bench ==="
+timeout 3600 python bench.py 2>/tmp/measure_bench.err
+grep "tier" /tmp/measure_bench.err
+exit 0
+INNER
+  then
     exit 0
   fi
   echo "not healthy $(date +%H:%M:%S) ($attempt): \
