@@ -54,3 +54,68 @@ class TestFusedChannelize:
             assert False, "expected assertion"
         except AssertionError:
             pass
+
+
+class TestPallasS2dConv:
+    """MXU-mapped s2d composite conv (ops/pallas/s2d_conv.py) vs the XLA
+    formulation it drops in for (ops/fused._s2d_conv)."""
+
+    def _kernel(self, num_carriers=16):
+        from tetraear_tpu.config import ReceiverConfig
+        from tetraear_tpu.ops import fused
+        cfg = ReceiverConfig()
+        offs = ((np.arange(num_carriers) - (num_carriers - 1) / 2) * 25e3
+                ).astype(np.float32)
+        cutoff = ((cfg.channel_bandwidth_hz / 2)
+                  / (cfg.intermediate_rate_hz / 2))
+        kernel, gc, _rot = fused.fused_kernel(
+            offs, cfg.sample_rate_hz, cfg.decimation_factor,
+            cfg.decim_fir_taps_per_phase, cfg.channel_fir_taps, cutoff)
+        L = kernel.shape[-1]
+        ks = fused.s2d_kernel(kernel, cfg.decimation_factor)
+        return ks, gc, L, cfg.decimation_factor
+
+    def _check(self, rng, n, num_carriers=16):
+        from tetraear_tpu.ops import fused
+        from tetraear_tpu.ops.pallas.s2d_conv import pallas_s2d_conv
+        ks, gc, L, decim = self._kernel(num_carriers)
+        x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+             ).astype(np.complex64) * 0.1
+        want = np.asarray(fused._s2d_conv(jnp.asarray(x), ks, gc, L, decim))
+        got = np.asarray(pallas_s2d_conv(jnp.asarray(x), ks, gc, L, decim))
+        assert got.shape == want.shape == (2 * num_carriers, -(-n // decim))
+        err = np.abs(got - want).max()
+        assert err < 1e-6 * max(np.abs(want).max(), 1e-3), err
+
+    def test_matches_xla_s2d(self, rng):
+        self._check(rng, 40_000)
+
+    def test_ragged_lengths(self, rng):
+        """n not a multiple of decim or of the tile extent."""
+        for n in (40_000 + 7, 40_000 + 10, 12_345):
+            self._check(rng, n)
+
+    def test_four_carriers(self, rng):
+        self._check(rng, 20_000, num_carriers=4)
+
+    def test_grouped_weights_cover_all_taps(self):
+        """Every (channel, tap) weight lands in exactly one group slot."""
+        from tetraear_tpu.ops.pallas.s2d_conv import (_group_weights, BLK,
+                                                      TPG)
+        ks, _gc, _L, decim = self._kernel(16)
+        k2 = np.asarray(ks)
+        wk = _group_weights(k2, decim)
+        c2, ich, lp = k2.shape
+        assert wk.shape == (-(-lp // TPG), c2, 128)
+        # reassemble and compare
+        back = np.zeros_like(k2)
+        for g in range(wk.shape[0]):
+            for a in range(TPG):
+                t = g * TPG + a
+                if t < lp:
+                    back[:, :, t] = wk[g, :, a * BLK:a * BLK + ich]
+        np.testing.assert_array_equal(back, k2)
+        # zero-padded columns really are zero
+        for g in range(wk.shape[0]):
+            for a in range(TPG):
+                assert not wk[g, :, a * BLK + ich:(a + 1) * BLK].any()

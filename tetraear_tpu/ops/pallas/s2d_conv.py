@@ -1,0 +1,159 @@
+"""Space-to-depth composite conv as an MXU-mapped Pallas kernel.
+
+WHY: the XLA lowering of the s2d composite conv (ops/fused._s2d_conv)
+is VPU-bound on this backend — ROOFLINE.md measured ~1.35 TF/s
+sustained (1.6 % of the chip's 82 TF/s matmul peak) and the rate is
+invariant under dtype/K-depth/N-batch/output-fold shaping, i.e. XLA
+never engages the systolic array for this conv shape.  This kernel
+states the same contraction as explicit (C2, 128) x (128, TILE_W)
+matmuls so the MXU does the FLOPs:
+
+    out[c, w] = sum_{i, a} K2[c, i, a] * X2[w + a, i]
+
+with the (i, a) contraction split into groups of TPG taps x BLK
+channel-rows = 128 MXU input lanes.  Patch matrices are built in VMEM
+from lane-shifted slices of one DMA'd input window — no gather, no
+reshape that regroups lanes (both are documented Mosaic no-gos on this
+backend, see ops/pallas/fused_channelize.py).
+
+Layout contract (chosen for the empirically-working DMA pattern —
+windows with power-of-two sublane counts and 128-aligned lane extents):
+  * input  x2T: (32, W) f32 — s2d channel rows [j*D + r re/im-major]
+    in sublanes (20 real rows for D=10, rows 20..31 zero), decimated
+    positions in lanes.  The host wrapper builds this with one XLA
+    transpose of the free (N, 2) -> (W, 2D) reshape.
+  * weights wk: (G, C2, 128) f32 — wk[g, c, a*BLK + i] = K2[c, i, g*TPG + a]
+    (i >= 2D rows zero), so each group's matmul contracts 128 lanes of
+    which TPG*2D = 100 are useful (78 % MXU feed efficiency).
+  * output: (C2, m_out) f32 — the (2C, M) block-row layout the demod
+    tail consumes; written tile-contiguous, no output-side transpose.
+
+Decision equivalence: bit-level f32 differences vs _s2d_conv are
+possible (different contraction split); tests pin max-abs agreement to
+fp32 tolerance and decision-level equality through the demod tail.
+
+STATUS: interpret-mode verified vs ops/fused._s2d_conv; device
+measurement pending a healthy TPU window (tools/tpu_conv_probe.py
+--probe pallas16).  Wire into the frontends only after a verified win.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_W = 512          # output positions per grid step
+BLK = 24              # sublane block per tap (multiple of 8; >= 2D)
+TPG = 128 // BLK      # taps per 128-lane group (5 for BLK=24)
+SUBLANES = 32         # DMA window sublane count (power of two)
+
+
+def _kernel(x_hbm, wk_ref, out_ref, *, g_groups: int, win: int, c2: int):
+    i = pl.program_id(0)
+
+    def body(xw, pg, sem):
+        copy = pltpu.make_async_copy(
+            x_hbm.at[:, pl.ds(i * TILE_W, win)], xw, sem)
+        copy.start()
+        copy.wait()
+
+        # rows BLK*TPG..128 of the patch are never written by the loop;
+        # zero them once so 0-weight columns never meet garbage VMEM
+        # (0 * NaN would poison the accumulator)
+        pg[BLK * TPG:128, :] = jnp.zeros((128 - BLK * TPG, TILE_W),
+                                         jnp.float32)
+        acc = jnp.zeros((c2, TILE_W), jnp.float32)
+        for g in range(g_groups):
+            # patch rows a*BLK..a*BLK+BLK = input rows 0..BLK at lane
+            # shift g*TPG + a (rows >= 2D are zero padding; the matching
+            # weight columns are zero, so they contribute nothing)
+            for a in range(TPG):
+                off = g * TPG + a
+                pg[a * BLK:(a + 1) * BLK, :] = xw[0:BLK, off:off + TILE_W]
+            acc = acc + jax.lax.dot_general(
+                wk_ref[g], pg[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        out_ref[...] = acc
+
+    pl.run_scoped(body,
+                  pltpu.VMEM((SUBLANES, win), jnp.float32),
+                  pltpu.VMEM((128, TILE_W), jnp.float32),
+                  pltpu.SemaphoreType.DMA(()))
+
+
+def _group_weights(k2: np.ndarray, decim: int) -> np.ndarray:
+    """s2d kernel (C2, 2D, Lp) -> grouped (G, C2, 128) MXU weights."""
+    c2, ich, lp = k2.shape
+    assert ich <= BLK, (ich, BLK)
+    g_groups = -(-lp // TPG)
+    wk = np.zeros((g_groups, c2, 128), np.float32)
+    for g in range(g_groups):
+        for a in range(TPG):
+            t = g * TPG + a
+            if t < lp:
+                wk[g, :, a * BLK:a * BLK + ich] = k2[:, :, t]
+    return wk
+
+
+@functools.partial(jax.jit, static_argnames=("g_groups", "win", "c2",
+                                             "num_tiles", "interpret"))
+def _run(x2t, wk, *, g_groups: int, win: int, c2: int, num_tiles: int,
+         interpret: bool):
+    kern = functools.partial(_kernel, g_groups=g_groups, win=win, c2=c2)
+    return pl.pallas_call(
+        kern,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),             # x2t in HBM
+            pl.BlockSpec((g_groups, c2, 128), lambda i: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((c2, TILE_W), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((c2, num_tiles * TILE_W),
+                                       jnp.float32),
+        interpret=interpret,
+    )(x2t, wk)
+
+
+def pallas_s2d_conv_wk(x: jnp.ndarray, wk: jnp.ndarray, gc: int, L: int,
+                       decim: int, ich: int, lp: int) -> jnp.ndarray:
+    """Traceable core: x (N,) complex64 + PRE-GROUPED weights wk
+    (G, C2, 128) from _group_weights -> (C2, m_out) f32.  ich/lp are the
+    original s2d kernel's (in-channels, taps) — static ints."""
+    c2 = wk.shape[1]
+    n = x.shape[-1]
+    m_out = -(-n // decim)
+    pad_l = L - 1 - gc
+
+    num_tiles = -(-m_out // TILE_W)
+    g_groups = -(-lp // TPG)
+    raw_win = TILE_W + g_groups * TPG - 1
+    win = -(-raw_win // 128) * 128
+
+    # lanes the last tile reads: (num_tiles-1)*TILE_W + win
+    w_pad = (num_tiles - 1) * TILE_W + win
+    total = w_pad * decim
+    xri = jnp.stack([jnp.real(x), jnp.imag(x)], axis=-1)      # (N, 2)
+    xpad = jnp.pad(xri, ((pad_l, total - pad_l - n), (0, 0)))
+    x2 = xpad.reshape(w_pad, 2 * decim)                       # free reshape
+    x2t = jnp.pad(x2.T, ((0, SUBLANES - ich), (0, 0)))        # (32, W)
+
+    interpret = jax.default_backend() != "tpu"
+    out = _run(x2t, wk, g_groups=g_groups, win=win, c2=c2,
+               num_tiles=num_tiles, interpret=interpret)
+    return out[:, :m_out]
+
+
+def pallas_s2d_conv(x: jnp.ndarray, kernel_s2d, gc: int, L: int,
+                    decim: int) -> jnp.ndarray:
+    """Drop-in for ops/fused._s2d_conv: (N,) complex64 -> (2C, m_out) f32
+    un-derotated channel pair rows (block order [re.., im..])."""
+    k2 = np.asarray(kernel_s2d)
+    c2, ich, lp = k2.shape
+    assert ich == 2 * decim and ich <= BLK, (ich, decim)
+    wk = jnp.asarray(_group_weights(k2, decim))
+    return pallas_s2d_conv_wk(x, wk, gc, L, decim, ich, lp)

@@ -31,7 +31,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import numpy as np  # noqa: E402
 
-PROBES = ("fused16", "s2d16", "s2d16_of4", "s2d16_of8", "s2d16_bf16", "s2d16_k4",
+PROBES = ("fused16", "pallas16",
+          "s2d16", "s2d16_of4", "s2d16_of8", "s2d16_bf16", "s2d16_k4",
           "s2d16_n4", "s2d16_n8", "pfb96", "pfb96_s2d",
           "pfb96_s2d_bf16", "tail16", "tail96", "cand16", "cand96",
           "front16_s2d", "front96_s2d", "split16_s2d", "split16_of4",
@@ -89,6 +90,20 @@ def _build(probe: str, scale: int):
             yr, yi = fused.fused_channelize_s2d_ri(xc, k, gc, L, decim)
             return jnp.sum(yr) + jnp.sum(yi)
         return (lambda: fn(x, kd)), n
+
+    if probe == "pallas16":
+        # MXU-mapped Pallas s2d conv (ops/pallas/s2d_conv.py): does the
+        # hand-written GEMM formulation beat the ~VPU-floor XLA conv?
+        from tetraear_tpu.ops.pallas import s2d_conv as psc
+        k2 = np.asarray(fused.s2d_kernel(kernel, decim))
+        _c2, ich, lp = k2.shape
+        wkd = jax.device_put(jnp.asarray(psc._group_weights(k2, decim)))
+
+        @jax.jit
+        def fn_pallas(xc, wk):
+            out = psc.pallas_s2d_conv_wk(xc, wk, gc, L, decim, ich, lp)
+            return jnp.sum(out)
+        return (lambda: fn_pallas(x, wkd)), n
 
     if probe in ("s2d16_n4", "s2d16_n8"):
         # block-batched s2d conv: B independent blocks as the conv's N
