@@ -925,6 +925,62 @@ def cmd_codec(args) -> int:
     return 0
 
 
+def cmd_frames(args) -> int:
+    """Query a frames-JSONL log: the headless face of the reference GUI's
+    Calls/Groups/Users/Message-Type dropdown filters and statistics panel
+    (modern.py; MIGRATION.md 'filtering' row)."""
+    from tetraear_tpu.io.frames_query import (FrameFilter, filter_frames,
+                                              format_frame_line,
+                                              frames_stats, read_frames)
+    src = Path(args.log)
+    if not src.exists():
+        print(_c("red", f"[FAIL] {src} not found"))
+        return 1
+    encrypted = None
+    if args.encrypted:
+        encrypted = True
+    elif args.clear:
+        encrypted = False
+    flt = FrameFilter(
+        types=tuple(t.strip().lower() for t in (args.type or [])),
+        group=args.group, user=args.user,
+        call_type=args.call_type.lower() if args.call_type else None,
+        timeslot=args.timeslot, encrypted=encrypted,
+        sds_only=args.sds_only)
+    matched = filter_frames(read_frames(src), flt)
+
+    if args.stats:
+        st = frames_stats(matched)
+        print(f"frames={st.total} crc_pass={st.crc_pass} "
+              f"encrypted={st.encrypted} decrypted={st.decrypted} "
+              f"sds={st.sds}")
+        for title, counter in (("types", st.by_type), ("groups", st.groups),
+                               ("users", st.users),
+                               ("call types", st.call_types)):
+            if counter:
+                items = ", ".join(f"{k}:{v}" for k, v
+                                  in counter.most_common(args.top))
+                print(f"  {title}: {items}")
+        return 0
+
+    count = 0
+    out_fp = open(args.out, "w", encoding="utf-8") if args.out else None
+    try:
+        import json as _json
+        for frame in matched:
+            count += 1
+            if out_fp:
+                out_fp.write(_json.dumps(frame) + "\n")
+            else:
+                print(format_frame_line(frame))
+    finally:
+        if out_fp:
+            out_fp.close()
+    where = f" -> {args.out}" if args.out else ""
+    print(_c("green", f"[OK] {count} frames matched{where}"))
+    return 0
+
+
 def cmd_devices(_args) -> int:
     from tetraear_tpu.io.capture import BLADERF_AVAILABLE, list_bladerf_devices
     if not BLADERF_AVAILABLE:
@@ -1133,6 +1189,34 @@ def main(argv=None) -> int:
     p_cod.add_argument("--codec-dir", type=str, default=None,
                        help="override codec binary directory")
     p_cod.set_defaults(func=cmd_codec)
+
+    p_fr = sub.add_parser("frames",
+                          help="filter/summarize a frames JSONL log "
+                               "(the GUI dropdown filters, headless)")
+    p_fr.add_argument("log", type=str, help="frames .jsonl from decode/listen")
+    p_fr.add_argument("--type", action="append", default=None,
+                      metavar="NAME",
+                      help="frame type_name (repeatable, e.g. MAC-RESOURCE)")
+    p_fr.add_argument("--group", type=int, default=None,
+                      help="talkgroup id")
+    p_fr.add_argument("--user", type=int, default=None,
+                      help="SSI (matches source or destination)")
+    p_fr.add_argument("--call-type", type=str, default=None,
+                      help="Individual/Group/...")
+    p_fr.add_argument("--timeslot", type=int, default=None)
+    p_fr.add_argument("--encrypted", action="store_true",
+                      help="encrypted frames only")
+    p_fr.add_argument("--clear", action="store_true",
+                      help="clear frames only")
+    p_fr.add_argument("--sds-only", action="store_true",
+                      help="frames carrying an SDS message")
+    p_fr.add_argument("--stats", action="store_true",
+                      help="print the statistics panel instead of lines")
+    p_fr.add_argument("--top", type=int, default=8,
+                      help="top-N entries per stats counter (default 8)")
+    p_fr.add_argument("-o", "--out", type=str, default=None,
+                      help="write matching frames as JSONL instead of text")
+    p_fr.set_defaults(func=cmd_frames)
 
     p_dev = sub.add_parser("devices", help="list BladeRF devices")
     p_dev.set_defaults(func=cmd_devices)
