@@ -119,3 +119,18 @@ class TestPallasS2dConv:
         for g in range(wk.shape[0]):
             for a in range(TPG):
                 assert not wk[g, :, a * BLK + ich:(a + 1) * BLK].any()
+
+    def test_db_variant_matches(self, rng):
+        """Double-buffered dual-block variant == manual-DMA variant."""
+        from tetraear_tpu.ops import fused
+        from tetraear_tpu.ops.pallas.s2d_conv import pallas_s2d_conv
+        ks, gc, L, decim = self._kernel(16)
+        n = 40_000 + 7
+        x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+             ).astype(np.complex64) * 0.1
+        a = np.asarray(pallas_s2d_conv(jnp.asarray(x), ks, gc, L, decim))
+        b = np.asarray(pallas_s2d_conv(jnp.asarray(x), ks, gc, L, decim,
+                                       variant="db"))
+        np.testing.assert_array_equal(a, b)
+        want = np.asarray(fused._s2d_conv(jnp.asarray(x), ks, gc, L, decim))
+        assert np.abs(b - want).max() < 1e-6

@@ -86,6 +86,50 @@ def _kernel(x_hbm, wk_ref, out_ref, *, g_groups: int, win: int, c2: int):
                   pltpu.SemaphoreType.DMA(()))
 
 
+def _kernel_db(xa_ref, xb_ref, wk_ref, out_ref, pg, *, g_groups: int,
+               c2: int):
+    """Double-buffered variant: the input window arrives as two
+    pipeline-managed VMEM blocks (tile i and tile i+1 of the same HBM
+    array via two BlockSpecs), so Mosaic's automatic grid pipelining
+    overlaps the next tiles' DMA with this tile's matmuls — the manual
+    start/wait in _kernel runs its DMA serially with compute.  Costs a
+    second fetch of each block (every block arrives once as `xa`, once
+    as `xb`); wins if MXU time dominates DMA time."""
+    xw = jnp.concatenate([xa_ref[...], xb_ref[:, :128]], axis=1)
+    pg[BLK * TPG:128, :] = jnp.zeros((128 - BLK * TPG, TILE_W), jnp.float32)
+    acc = jnp.zeros((c2, TILE_W), jnp.float32)
+    for g in range(g_groups):
+        for a in range(TPG):
+            off = g * TPG + a
+            pg[a * BLK:(a + 1) * BLK, :] = xw[0:BLK, off:off + TILE_W]
+        acc = acc + jax.lax.dot_general(
+            wk_ref[g], pg[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    out_ref[...] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("g_groups", "c2", "num_tiles",
+                                             "interpret"))
+def _run_db(x2t, wk, *, g_groups: int, c2: int, num_tiles: int,
+            interpret: bool):
+    assert g_groups * TPG <= 128, g_groups   # halo must fit xb's 128 lanes
+    kern = functools.partial(_kernel_db, g_groups=g_groups, c2=c2)
+    return pl.pallas_call(
+        kern,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((SUBLANES, TILE_W), lambda i: (0, i)),
+            pl.BlockSpec((SUBLANES, TILE_W), lambda i: (0, i + 1)),
+            pl.BlockSpec((g_groups, c2, 128), lambda i: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((c2, TILE_W), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((c2, num_tiles * TILE_W),
+                                       jnp.float32),
+        scratch_shapes=[pltpu.VMEM((128, TILE_W), jnp.float32)],
+        interpret=interpret,
+    )(x2t, x2t, wk)
+
+
 def _group_weights(k2: np.ndarray, decim: int) -> np.ndarray:
     """s2d kernel (C2, 2D, Lp) -> grouped (G, C2, 128) MXU weights."""
     c2, ich, lp = k2.shape
@@ -120,10 +164,14 @@ def _run(x2t, wk, *, g_groups: int, win: int, c2: int, num_tiles: int,
 
 
 def pallas_s2d_conv_wk(x: jnp.ndarray, wk: jnp.ndarray, gc: int, L: int,
-                       decim: int, ich: int, lp: int) -> jnp.ndarray:
+                       decim: int, ich: int, lp: int,
+                       variant: str = "dma") -> jnp.ndarray:
     """Traceable core: x (N,) complex64 + PRE-GROUPED weights wk
     (G, C2, 128) from _group_weights -> (C2, m_out) f32.  ich/lp are the
-    original s2d kernel's (in-channels, taps) — static ints."""
+    original s2d kernel's (in-channels, taps) — static ints.  variant:
+    'dma' = one manual window DMA per tile (serial with compute);
+    'db' = pipeline-managed dual-block windows (auto double buffering,
+    each block fetched twice)."""
     c2 = wk.shape[1]
     n = x.shape[-1]
     m_out = -(-n // decim)
@@ -134,8 +182,9 @@ def pallas_s2d_conv_wk(x: jnp.ndarray, wk: jnp.ndarray, gc: int, L: int,
     raw_win = TILE_W + g_groups * TPG - 1
     win = -(-raw_win // 128) * 128
 
-    # lanes the last tile reads: (num_tiles-1)*TILE_W + win
-    w_pad = (num_tiles - 1) * TILE_W + win
+    # lanes the last tile reads: (num_tiles-1)*TILE_W + win for the DMA
+    # variant; the db variant reads block num_tiles (one tile past)
+    w_pad = max((num_tiles - 1) * TILE_W + win, (num_tiles + 1) * TILE_W)
     total = w_pad * decim
     xri = jnp.stack([jnp.real(x), jnp.imag(x)], axis=-1)      # (N, 2)
     xpad = jnp.pad(xri, ((pad_l, total - pad_l - n), (0, 0)))
@@ -143,17 +192,21 @@ def pallas_s2d_conv_wk(x: jnp.ndarray, wk: jnp.ndarray, gc: int, L: int,
     x2t = jnp.pad(x2.T, ((0, SUBLANES - ich), (0, 0)))        # (32, W)
 
     interpret = jax.default_backend() != "tpu"
-    out = _run(x2t, wk, g_groups=g_groups, win=win, c2=c2,
-               num_tiles=num_tiles, interpret=interpret)
+    if variant == "db":
+        out = _run_db(x2t, wk, g_groups=g_groups, c2=c2,
+                      num_tiles=num_tiles, interpret=interpret)
+    else:
+        out = _run(x2t, wk, g_groups=g_groups, win=win, c2=c2,
+                   num_tiles=num_tiles, interpret=interpret)
     return out[:, :m_out]
 
 
 def pallas_s2d_conv(x: jnp.ndarray, kernel_s2d, gc: int, L: int,
-                    decim: int) -> jnp.ndarray:
+                    decim: int, variant: str = "dma") -> jnp.ndarray:
     """Drop-in for ops/fused._s2d_conv: (N,) complex64 -> (2C, m_out) f32
     un-derotated channel pair rows (block order [re.., im..])."""
     k2 = np.asarray(kernel_s2d)
     c2, ich, lp = k2.shape
     assert ich == 2 * decim and ich <= BLK, (ich, decim)
     wk = jnp.asarray(_group_weights(k2, decim))
-    return pallas_s2d_conv_wk(x, wk, gc, L, decim, ich, lp)
+    return pallas_s2d_conv_wk(x, wk, gc, L, decim, ich, lp, variant=variant)

@@ -20,6 +20,7 @@ Usage: python tools/tpu_conv_probe.py [--scale 8] [--iters 4] [--probe NAME]
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import os
 import subprocess
@@ -31,7 +32,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import numpy as np  # noqa: E402
 
-PROBES = ("fused16", "pallas16",
+PROBES = ("fused16", "pallas16", "pallas16_db",
           "s2d16", "s2d16_of4", "s2d16_of8", "s2d16_bf16", "s2d16_k4",
           "s2d16_n4", "s2d16_n8", "pfb96", "pfb96_s2d",
           "pfb96_s2d_bf16", "tail16", "tail96", "cand16", "cand96",
@@ -91,19 +92,22 @@ def _build(probe: str, scale: int):
             return jnp.sum(yr) + jnp.sum(yi)
         return (lambda: fn(x, kd)), n
 
-    if probe == "pallas16":
+    if probe in ("pallas16", "pallas16_db"):
         # MXU-mapped Pallas s2d conv (ops/pallas/s2d_conv.py): does the
         # hand-written GEMM formulation beat the ~VPU-floor XLA conv?
+        # _db = pipeline-managed double-buffered window variant.
         from tetraear_tpu.ops.pallas import s2d_conv as psc
+        variant = "db" if probe.endswith("db") else "dma"
         k2 = np.asarray(fused.s2d_kernel(kernel, decim))
         _c2, ich, lp = k2.shape
         wkd = jax.device_put(jnp.asarray(psc._group_weights(k2, decim)))
 
-        @jax.jit
-        def fn_pallas(xc, wk):
-            out = psc.pallas_s2d_conv_wk(xc, wk, gc, L, decim, ich, lp)
+        @functools.partial(jax.jit, static_argnames=("v",))
+        def fn_pallas(xc, wk, v):
+            out = psc.pallas_s2d_conv_wk(xc, wk, gc, L, decim, ich, lp,
+                                         variant=v)
             return jnp.sum(out)
-        return (lambda: fn_pallas(x, wkd)), n
+        return (lambda: fn_pallas(x, wkd, variant)), n
 
     if probe in ("s2d16_n4", "s2d16_n8"):
         # block-batched s2d conv: B independent blocks as the conv's N
