@@ -144,6 +144,18 @@ def _run_tier(tier: str, num_carriers: int, scale: int, iters: int):
         zero = jnp.int32(0)
         rate = _verified_rate(lambda x: fn(x, zero), digest, xs, n, iters)
         return rate, "fused_s2d_of_demod_decode", num_carriers
+    if tier in ("fused_pallas", "fused_pallas_db"):
+        # MXU-mapped Pallas conv stage (ops/pallas/s2d_conv.py); not in
+        # the default TIERS until a healthy-window head-to-head shows it
+        # ahead — enable via BENCH_TIERS=fused_pallas,...
+        mc = MulticarrierFrontend(
+            cfg, num_candidates=64, threshold=0.80,
+            fused="pallas_db" if tier.endswith("db") else "pallas")
+        fn = mc._compiled_fused(tuple(float(v) for v in offsets))
+        xs = [put_complex(x) for x in xs_np]
+        zero = jnp.int32(0)
+        rate = _verified_rate(lambda x: fn(x, zero), digest, xs, n, iters)
+        return rate, f"{tier}_demod_decode", num_carriers
     if tier == "fused_s2d":
         # space-to-depth stride-1 formulation of the same composite conv
         # (ops/fused.s2d_kernel): decimation folded into the channel dim
@@ -305,9 +317,17 @@ def main() -> int:
     # probe accelerator tiers in isolated children, best tier wins; once a
     # full-decode tier verifies, also try the PFB for the higher channel
     # count, then stop (don't burn time on lower tiers)
+    # BENCH_TIERS overrides the tier chain (comma list, e.g.
+    # "fused_pallas,fused_s2d" for a same-window head-to-head of a
+    # not-yet-promoted tier); unknown names fail loudly in the child
+    tiers = TIERS
+    if os.environ.get("BENCH_TIERS"):
+        tiers = tuple(t.strip() for t in
+                      os.environ["BENCH_TIERS"].split(",") if t.strip())
+
     results = []
     hangs = 0
-    for t in TIERS if probe_ok else ():
+    for t in tiers if probe_ok else ():
         if hangs >= 2:
             break             # two hung tiers: the tunnel wedged mid-run
             # (a single hang can be a transient — observed healthy

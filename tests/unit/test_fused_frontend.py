@@ -375,6 +375,46 @@ class TestSpaceToDepth:
         texts = {f.get("sds_message") for f in frames}
         assert "[TXT] HELLO HELLO" in texts
 
+    def test_pallas_frontend_matches_s2d(self, rng):
+        """fused='pallas'/'pallas_db' (MXU Pallas conv stage) must be
+        decision-identical to fused='s2d' through the full demod tail."""
+        from tetraear_tpu.config import ReceiverConfig
+        from tetraear_tpu.models.multicarrier import MulticarrierFrontend
+        cfg = ReceiverConfig()
+        n = 40_000
+        x = ((rng.standard_normal(n) + 1j * rng.standard_normal(n)) * 0.1
+             ).astype(np.complex64)
+        offs = ((np.arange(16) - 8) * 25e3).astype(np.float64)
+        ref = MulticarrierFrontend(cfg, num_candidates=32,
+                                   fused="s2d")(x, offs)
+        for variant in ("pallas", "pallas_db"):
+            got = MulticarrierFrontend(cfg, num_candidates=32,
+                                       fused=variant)(x, offs)
+            np.testing.assert_array_equal(np.asarray(ref.bits),
+                                          np.asarray(got.bits))
+            np.testing.assert_array_equal(np.asarray(ref.crc_ok),
+                                          np.asarray(got.crc_ok))
+            assert np.abs(np.asarray(ref.sync_corr)
+                          - np.asarray(got.sync_corr)).max() < 1e-5
+
+    def test_pallas_frontend_decodes(self):
+        from tetraear_tpu.models.multicarrier import (MulticarrierDecoder,
+                                                      MulticarrierFrontend)
+        fs = 2.4e6
+        st = synth.make_stream_bits(num_frames=4, lead_bits=64, seed=7,
+                                    golden=True)
+        syms = synth.bits_to_symbols(st)
+        ph = synth.synthesize_symbol_phasors(syms, mapping="ref")
+        iq = synth.upsample_hold(ph, fs, fs / 130.0)
+        t = np.arange(len(iq)) / fs
+        x = (iq * np.exp(2j * np.pi * 25e3 * t)).astype(np.complex64)
+        offs = np.array([25e3, 0.0], np.float32)
+        mc = MulticarrierFrontend(fused="pallas")
+        frames = MulticarrierDecoder(2, auto_decrypt=False).decode(
+            mc(x, offs))[0]
+        texts = {f.get("sds_message") for f in frames}
+        assert "[TXT] HELLO HELLO" in texts
+
     def test_s2d_pfb_kernel_exact(self, rng):
         """PFB composite (gc=0: pad_l + n exceeds the naive s2d window —
         the regression that required output slicing) must match the

@@ -239,7 +239,7 @@ class MulticarrierFrontend:
         z_rot = fused.symbol_rotation(rot_np, decim,
                                       cfg.ref_samples_per_symbol)
 
-        if self.fused in ("s2d", "s2d_of"):
+        if self.fused in ("s2d", "s2d_of", "pallas", "pallas_db"):
             # THREE dispatched programs (conv -> demod tail -> candidates):
             # consecutive blocks pipeline on the backend, so steady-state
             # throughput is set by the slowest stage (the conv, 34 ms at
@@ -264,6 +264,24 @@ class MulticarrierFrontend:
                 def conv_prog(x, kern):
                     return fused.fused_channelize_s2d_of_ri(
                         x, kern, gc, L, decim, fold)
+            elif self.fused in ("pallas", "pallas_db"):
+                # MXU-mapped Pallas conv stage (ops/pallas/s2d_conv.py):
+                # same contraction as the s2d conv, stated as explicit
+                # matmuls; interpret-mode off-TPU
+                from tetraear_tpu.ops.pallas.s2d_conv import (
+                    _group_weights, pallas_s2d_conv_wk)
+                k2 = np.asarray(fused.s2d_kernel(kernel, decim))
+                _c2p, ich, lp = k2.shape
+                kernel_dev = jax.device_put(
+                    jnp.asarray(_group_weights(k2, decim)))
+                pvariant = "db" if self.fused == "pallas_db" else "dma"
+
+                @jax.jit
+                def conv_prog(x, kern):
+                    out = pallas_s2d_conv_wk(x, kern, gc, L, decim, ich,
+                                             lp, variant=pvariant)
+                    c2h = out.shape[0] // 2
+                    return out[:c2h], out[c2h:]
             else:
                 kernel_dev = jax.device_put(fused.s2d_kernel(kernel, decim))
 
