@@ -134,3 +134,22 @@ class TestPallasS2dConv:
         np.testing.assert_array_equal(a, b)
         want = np.asarray(fused._s2d_conv(jnp.asarray(x), ks, gc, L, decim))
         assert np.abs(b - want).max() < 1e-6
+
+    def test_pfb_192_channel_kernel(self, rng):
+        """Same kernel covers the full-band PFB shape (192 out channels)."""
+        from tetraear_tpu.config import ReceiverConfig
+        from tetraear_tpu.ops import fused
+        from tetraear_tpu.ops.pallas.s2d_conv import pallas_s2d_conv
+        cfg = ReceiverConfig()
+        kernel, gc, _rot = fused.pfb_kernel(96, cfg.sample_rate_hz)
+        L = kernel.shape[-1]
+        ks = fused.s2d_kernel(kernel, cfg.decimation_factor)
+        n = 20_000
+        x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+             ).astype(np.complex64) * 0.1
+        want = np.asarray(fused._s2d_conv(jnp.asarray(x), ks, gc, L,
+                                          cfg.decimation_factor))
+        got = np.asarray(pallas_s2d_conv(jnp.asarray(x), ks, gc, L,
+                                         cfg.decimation_factor))
+        assert got.shape == want.shape == (192, n // cfg.decimation_factor)
+        assert np.abs(got - want).max() < 1e-6
