@@ -49,7 +49,7 @@ TIER_TIMEOUT_S = 900.0           # child budget incl. remote compile (~3 min);
 TIERS = ("fused_s2d_of", "fused_s2d", "fused", "complex", "pfb",
          "realpair64", "realpair0", "single")
 
-_PFB_VARIANTS = ("s2d", "s2d_mono")
+_PFB_VARIANTS = ("s2d", "s2d_mono", "pallas", "pallas_db")
 
 
 def _pfb_variant() -> str:

@@ -102,3 +102,18 @@ class TestPfbFrontend:
             c = int(np.argmin(np.abs(offs - off)))
             texts = {f.get("sds_message") for f in per[c]}
             assert f"[TXT] PFB CH {seed}" in texts, (off, texts)
+
+    def test_fused_variants_decision_identical(self, rng):
+        """fused='s2d' / 's2d_mono' / 'pallas' / 'pallas_db' PFB frontends
+        produce identical bits/crc over the full 96-channel band."""
+        from tetraear_tpu.models.multicarrier import PfbMulticarrierFrontend
+        n = 48_000
+        x = ((rng.standard_normal(n) + 1j * rng.standard_normal(n)) * 0.1
+             ).astype(np.complex64)
+        ref = PfbMulticarrierFrontend(num_candidates=16, fused="s2d")(x)
+        for v in ("s2d_mono", "pallas", "pallas_db"):
+            got = PfbMulticarrierFrontend(num_candidates=16, fused=v)(x)
+            np.testing.assert_array_equal(np.asarray(ref.bits),
+                                          np.asarray(got.bits)), v
+            np.testing.assert_array_equal(np.asarray(ref.crc_ok),
+                                          np.asarray(got.crc_ok)), v

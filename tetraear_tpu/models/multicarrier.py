@@ -399,6 +399,36 @@ class PfbMulticarrierFrontend:
             sps = cfg.ref_samples_per_symbol
             z_rot = fused.symbol_rotation(rot_np, decim, sps)
 
+            if self.fused in ("pallas", "pallas_db"):
+                # MXU-mapped Pallas conv stage (ops/pallas/s2d_conv.py)
+                # in the split-dispatch arrangement; see
+                # MulticarrierFrontend for the 16-carrier twin
+                from tetraear_tpu.ops.pallas.s2d_conv import (
+                    _group_weights, pallas_s2d_conv_wk)
+                L = kernel.shape[-1]
+                k2 = np.asarray(fused.s2d_kernel(kernel, decim))
+                _c2p, ich, lp = k2.shape
+                kernel_dev = jax.device_put(
+                    jnp.asarray(_group_weights(k2, decim)))
+                pvariant = "db" if self.fused == "pallas_db" else "dma"
+
+                @jax.jit
+                def conv_prog_p(x, kern):
+                    out = pallas_s2d_conv_wk(x, kern, gc, L, decim, ich,
+                                             lp, variant=pvariant)
+                    c2h = out.shape[0] // 2
+                    return out[:c2h], out[c2h:]
+
+                @jax.jit
+                def tail_prog_p(yr, yi):
+                    res = _demod_from_pair(yr, yi, sps, z_rot=z_rot)
+                    return res.bits, res.sync_corr, res.count
+
+                def front_pallas(x):
+                    yr, yi = conv_prog_p(x, kernel_dev)
+                    return tail_prog_p(yr, yi)
+                return _assemble(front_pallas)
+
             if self.fused in ("s2d", "s2d_mono"):
                 # the 16-carrier bench path's two wins, applied to the
                 # full-band tier (BENCH_r02's weak spot, 49 MS/s):
