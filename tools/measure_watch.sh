@@ -26,12 +26,14 @@ if ! timeout 400 python tools/tpu_health.py >/tmp/measure_health.txt 2>&1 \
   exit 1
 fi
 echo "=== healthy at $(date +%H:%M:%S) ==="
-for p in "$@"; do
-  timeout 700 python tools/tpu_conv_probe.py --probe "$p" --scale 8
-done
+# bench FIRST: it is the headline number and short windows can close
+# before a long probe list finishes
 echo "=== full bench ==="
 timeout 3600 python bench.py 2>/tmp/measure_bench.err
 grep "tier" /tmp/measure_bench.err
+for p in "$@"; do
+  timeout 700 python tools/tpu_conv_probe.py --probe "$p" --scale 8
+done
 exit 0
 INNER
   then
