@@ -299,17 +299,32 @@ def main() -> int:
     lock = device_measure_lock()
     lock.__enter__()
 
-    # quick f32 probe first — on a wedged tunnel every tier child
-    # would burn its full budget, so classify once and go straight to CPU
+    # quick f32 probe first — on a wedged tunnel every tier child would
+    # burn its full budget, so classify before launching tiers.  Wedged
+    # windows have been observed to recover on minute scales, so retry
+    # the cheap probe for a bounded wait (BENCH_PROBE_WAIT_S, default
+    # 10 min) before conceding to the CPU fallback: a one-shot probe at
+    # an unlucky instant would otherwise record a ~4 MS/s CPU number for
+    # a chip that is healthy again two minutes later.
     probe = ("import numpy as np, jax, jax.numpy as jnp;"
              "x = jnp.asarray(np.ones(260_000, np.float32));"
              "print('OK', float(np.asarray(jnp.sum(x))))")
-    try:
-        pr = subprocess.run([sys.executable, "-c", probe],
-                            capture_output=True, text=True, timeout=90)
-        probe_ok = pr.returncode == 0 and "OK" in pr.stdout
-    except subprocess.TimeoutExpired:
-        probe_ok = False
+    probe_wait = float(os.environ.get("BENCH_PROBE_WAIT_S", 600))
+    probe_deadline = time.monotonic() + probe_wait
+    probe_ok = False
+    while True:
+        try:
+            pr = subprocess.run([sys.executable, "-c", probe],
+                                capture_output=True, text=True, timeout=90)
+            probe_ok = pr.returncode == 0 and "OK" in pr.stdout
+        except subprocess.TimeoutExpired:
+            probe_ok = False
+        if probe_ok or time.monotonic() >= probe_deadline:
+            break
+        print("[bench] accelerator probe failed/hung; retrying "
+              f"({max(0.0, probe_deadline - time.monotonic()):.0f}s left)",
+              file=sys.stderr)
+        time.sleep(min(120, max(1.0, probe_deadline - time.monotonic())))
     if not probe_ok:
         print("[bench] accelerator probe failed/hung; skipping tiers",
               file=sys.stderr)

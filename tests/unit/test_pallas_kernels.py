@@ -79,13 +79,19 @@ class TestPallasS2dConv:
         from tetraear_tpu.ops import fused
         from tetraear_tpu.ops.pallas.s2d_conv import pallas_s2d_conv
         ks, gc, L, decim = self._kernel(num_carriers)
-        x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+        # dedicated per-case generator: the session-scoped rng fixture
+        # makes data depend on test ORDER, and the f32 accumulation-order
+        # error between the two formulations peaks near 1e-6 relative
+        # (worst 9.9e-7 over 24 seeds measured) — order-dependent data +
+        # a 1e-6 bound was a full-suite-only flake
+        r = np.random.default_rng(0x7E74A ^ n ^ (num_carriers << 20))
+        x = (r.standard_normal(n) + 1j * r.standard_normal(n)
              ).astype(np.complex64) * 0.1
         want = np.asarray(fused._s2d_conv(jnp.asarray(x), ks, gc, L, decim))
         got = np.asarray(pallas_s2d_conv(jnp.asarray(x), ks, gc, L, decim))
         assert got.shape == want.shape == (2 * num_carriers, -(-n // decim))
         err = np.abs(got - want).max()
-        assert err < 1e-6 * max(np.abs(want).max(), 1e-3), err
+        assert err < 4e-6 * max(np.abs(want).max(), 1e-3), err
 
     def test_matches_xla_s2d(self, rng):
         self._check(rng, 40_000)
