@@ -11,6 +11,10 @@
 # Usage:
 #   bash tools/measure_watch.sh                      # full bench only
 #   bash tools/measure_watch.sh cand96 s2d16_of4     # probes, then bench
+#   bash tools/measure_watch.sh bench:fused_pallas,fused_s2d_of pallas16
+#     — a "bench:<tiers>" arg runs an extra BENCH_TIERS head-to-head
+#     bench in the SAME healthy window (windows are scarce; one window
+#     should yield both the headline bench and any A/B)
 #
 # Writes progress to stdout; run under nohup/tmux for long waits.
 set -u
@@ -32,7 +36,17 @@ echo "=== full bench ==="
 timeout 3600 python bench.py 2>/tmp/measure_bench.err
 grep "tier" /tmp/measure_bench.err
 for p in "$@"; do
-  timeout 700 python tools/tpu_conv_probe.py --probe "$p" --scale 8
+  case "$p" in
+    bench:*)
+      echo "=== bench tiers ${p#bench:} ==="
+      BENCH_TIERS="${p#bench:}" timeout 2400 python bench.py \
+        2>/tmp/measure_bench_ab.err
+      grep "tier" /tmp/measure_bench_ab.err
+      ;;
+    *)
+      timeout 700 python tools/tpu_conv_probe.py --probe "$p" --scale 8
+      ;;
+  esac
 done
 exit 0
 INNER
