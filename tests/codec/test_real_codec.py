@@ -84,8 +84,12 @@ class TestSpeechCodec:
         assert n >= len(speech_pcm) - 240
         corr = np.corrcoef(speech_pcm[:n].astype(float),
                            out[:n].astype(float))[0, 1]
-        assert corr > 0.6, corr
-        assert _seg_snr(speech_pcm, out) > 2.5
+        # round-3 tuning (impulse-response-derived postfilter tilt, LSF
+        # step resize) measures corr ~0.91 / segSNR ~8.2 dB streaming;
+        # floors pinned with margin so a regression below the tuned
+        # operating point fails loudly
+        assert corr > 0.85, corr
+        assert _seg_snr(speech_pcm, out) > 6.5
         e_ratio = (np.sum(out[:n].astype(float) ** 2)
                    / np.sum(speech_pcm[:n].astype(float) ** 2))
         assert 0.4 < e_ratio < 2.5, e_ratio
