@@ -49,7 +49,7 @@ TIER_TIMEOUT_S = 900.0           # child budget incl. remote compile (~3 min);
 TIERS = ("fused_s2d_of", "fused_s2d", "fused", "complex", "pfb",
          "realpair64", "realpair0", "single")
 
-_PFB_VARIANTS = ("s2d", "s2d_mono", "pallas", "pallas_db")
+_PFB_VARIANTS = ("s2d", "s2d_mono", "pallas", "pallas_db", "pallas_bf16")
 
 
 def _pfb_variant() -> str:
@@ -144,13 +144,13 @@ def _run_tier(tier: str, num_carriers: int, scale: int, iters: int):
         zero = jnp.int32(0)
         rate = _verified_rate(lambda x: fn(x, zero), digest, xs, n, iters)
         return rate, "fused_s2d_of_demod_decode", num_carriers
-    if tier in ("fused_pallas", "fused_pallas_db"):
+    if tier in ("fused_pallas", "fused_pallas_db", "fused_pallas_bf16"):
         # MXU-mapped Pallas conv stage (ops/pallas/s2d_conv.py); not in
         # the default TIERS until a healthy-window head-to-head shows it
         # ahead — enable via BENCH_TIERS=fused_pallas,...
         mc = MulticarrierFrontend(
             cfg, num_candidates=64, threshold=0.80,
-            fused="pallas_db" if tier.endswith("db") else "pallas")
+            fused=tier.removeprefix("fused_"))
         fn = mc._compiled_fused(tuple(float(v) for v in offsets))
         xs = [put_complex(x) for x in xs_np]
         zero = jnp.int32(0)

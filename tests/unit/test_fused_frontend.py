@@ -398,6 +398,10 @@ class TestSpaceToDepth:
                           - np.asarray(got.sync_corr)).max() < 1e-5
 
     def test_pallas_frontend_decodes(self):
+        """pallas + pallas_bf16 frontends decode the golden stream.
+        bf16 is NOT bit-identical on noise (2-3e-3 relative conv error
+        flips marginal sign decisions), so it is pinned here at decode
+        level on a real signal instead of in the noise-identity test."""
         from tetraear_tpu.models.multicarrier import (MulticarrierDecoder,
                                                       MulticarrierFrontend)
         fs = 2.4e6
@@ -409,11 +413,12 @@ class TestSpaceToDepth:
         t = np.arange(len(iq)) / fs
         x = (iq * np.exp(2j * np.pi * 25e3 * t)).astype(np.complex64)
         offs = np.array([25e3, 0.0], np.float32)
-        mc = MulticarrierFrontend(fused="pallas")
-        frames = MulticarrierDecoder(2, auto_decrypt=False).decode(
-            mc(x, offs))[0]
-        texts = {f.get("sds_message") for f in frames}
-        assert "[TXT] HELLO HELLO" in texts
+        for variant in ("pallas", "pallas_bf16"):
+            mc = MulticarrierFrontend(fused=variant)
+            frames = MulticarrierDecoder(2, auto_decrypt=False).decode(
+                mc(x, offs))[0]
+            texts = {f.get("sds_message") for f in frames}
+            assert "[TXT] HELLO HELLO" in texts, variant
 
     def test_s2d_pfb_kernel_exact(self, rng):
         """PFB composite (gc=0: pad_l + n exceeds the naive s2d window —

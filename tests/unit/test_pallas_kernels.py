@@ -141,6 +141,30 @@ class TestPallasS2dConv:
         want = np.asarray(fused._s2d_conv(jnp.asarray(x), ks, gc, L, decim))
         assert np.abs(b - want).max() < 1e-6
 
+    def test_bf16_variant(self, rng):
+        """bf16 patches/weights + f32 MXU accumulation: decision-grade
+        agreement with the f32 path (bf16 has an 8-bit mantissa, so the
+        per-product relative error is ~0.4 %; the f32 accumulator keeps
+        the sum from drifting further)."""
+        from tetraear_tpu.ops import fused
+        from tetraear_tpu.ops.pallas.s2d_conv import pallas_s2d_conv
+        ks, gc, L, decim = self._kernel(16)
+        for n in (40_000, 40_000 + 7):
+            r = np.random.default_rng(0xBF16 ^ n)
+            x = (r.standard_normal(n) + 1j * r.standard_normal(n)
+                 ).astype(np.complex64) * 0.1
+            want = np.asarray(fused._s2d_conv(jnp.asarray(x), ks, gc, L,
+                                              decim))
+            got = np.asarray(pallas_s2d_conv(jnp.asarray(x), ks, gc, L,
+                                             decim, variant="bf16"))
+            assert got.shape == want.shape
+            assert got.dtype == np.float32
+            err = np.abs(got - want).max()
+            # measured: 2.2-3.2e-3 of the output scale over six seeds;
+            # pin ~3x headroom (still 100x tighter than the demod
+            # decision margin)
+            assert err < 1e-2 * np.abs(want).max(), err
+
     def test_pfb_192_channel_kernel(self, rng):
         """Same kernel covers the full-band PFB shape (192 out channels)."""
         from tetraear_tpu.config import ReceiverConfig

@@ -239,7 +239,8 @@ class MulticarrierFrontend:
         z_rot = fused.symbol_rotation(rot_np, decim,
                                       cfg.ref_samples_per_symbol)
 
-        if self.fused in ("s2d", "s2d_of", "pallas", "pallas_db"):
+        if self.fused in ("s2d", "s2d_of", "pallas", "pallas_db",
+                          "pallas_bf16"):
             # THREE dispatched programs (conv -> demod tail -> candidates):
             # consecutive blocks pipeline on the backend, so steady-state
             # throughput is set by the slowest stage (the conv, 34 ms at
@@ -264,7 +265,7 @@ class MulticarrierFrontend:
                 def conv_prog(x, kern):
                     return fused.fused_channelize_s2d_of_ri(
                         x, kern, gc, L, decim, fold)
-            elif self.fused in ("pallas", "pallas_db"):
+            elif self.fused in ("pallas", "pallas_db", "pallas_bf16"):
                 # MXU-mapped Pallas conv stage (ops/pallas/s2d_conv.py):
                 # same contraction as the s2d conv, stated as explicit
                 # matmuls; interpret-mode off-TPU
@@ -274,7 +275,8 @@ class MulticarrierFrontend:
                 _c2p, ich, lp = k2.shape
                 kernel_dev = jax.device_put(
                     jnp.asarray(_group_weights(k2, decim)))
-                pvariant = "db" if self.fused == "pallas_db" else "dma"
+                pvariant = {"pallas_db": "db",
+                            "pallas_bf16": "bf16"}.get(self.fused, "dma")
 
                 @jax.jit
                 def conv_prog(x, kern):
@@ -399,7 +401,7 @@ class PfbMulticarrierFrontend:
             sps = cfg.ref_samples_per_symbol
             z_rot = fused.symbol_rotation(rot_np, decim, sps)
 
-            if self.fused in ("pallas", "pallas_db"):
+            if self.fused in ("pallas", "pallas_db", "pallas_bf16"):
                 # MXU-mapped Pallas conv stage (ops/pallas/s2d_conv.py)
                 # in the split-dispatch arrangement; see
                 # MulticarrierFrontend for the 16-carrier twin
@@ -410,7 +412,8 @@ class PfbMulticarrierFrontend:
                 _c2p, ich, lp = k2.shape
                 kernel_dev = jax.device_put(
                     jnp.asarray(_group_weights(k2, decim)))
-                pvariant = "db" if self.fused == "pallas_db" else "dma"
+                pvariant = {"pallas_db": "db",
+                            "pallas_bf16": "bf16"}.get(self.fused, "dma")
 
                 @jax.jit
                 def conv_prog_p(x, kern):

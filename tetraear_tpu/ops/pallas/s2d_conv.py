@@ -53,7 +53,8 @@ TPG = 128 // BLK      # taps per 128-lane group (5 for BLK=24)
 SUBLANES = 32         # DMA window sublane count (power of two)
 
 
-def _kernel(x_hbm, wk_ref, out_ref, *, g_groups: int, win: int, c2: int):
+def _kernel(x_hbm, wk_ref, out_ref, *, g_groups: int, win: int, c2: int,
+            dtype=jnp.float32):
     i = pl.program_id(0)
 
     def body(xw, pg, sem):
@@ -65,8 +66,7 @@ def _kernel(x_hbm, wk_ref, out_ref, *, g_groups: int, win: int, c2: int):
         # rows BLK*TPG..128 of the patch are never written by the loop;
         # zero them once so 0-weight columns never meet garbage VMEM
         # (0 * NaN would poison the accumulator)
-        pg[BLK * TPG:128, :] = jnp.zeros((128 - BLK * TPG, TILE_W),
-                                         jnp.float32)
+        pg[BLK * TPG:128, :] = jnp.zeros((128 - BLK * TPG, TILE_W), dtype)
         acc = jnp.zeros((c2, TILE_W), jnp.float32)
         for g in range(g_groups):
             # patch rows a*BLK..a*BLK+BLK = input rows 0..BLK at lane
@@ -81,8 +81,8 @@ def _kernel(x_hbm, wk_ref, out_ref, *, g_groups: int, win: int, c2: int):
         out_ref[...] = acc
 
     pl.run_scoped(body,
-                  pltpu.VMEM((SUBLANES, win), jnp.float32),
-                  pltpu.VMEM((128, TILE_W), jnp.float32),
+                  pltpu.VMEM((SUBLANES, win), dtype),
+                  pltpu.VMEM((128, TILE_W), dtype),
                   pltpu.SemaphoreType.DMA(()))
 
 
@@ -145,10 +145,16 @@ def _group_weights(k2: np.ndarray, decim: int) -> np.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("g_groups", "win", "c2",
-                                             "num_tiles", "interpret"))
+                                             "num_tiles", "interpret",
+                                             "bf16"))
 def _run(x2t, wk, *, g_groups: int, win: int, c2: int, num_tiles: int,
-         interpret: bool):
-    kern = functools.partial(_kernel, g_groups=g_groups, win=win, c2=c2)
+         interpret: bool, bf16: bool = False):
+    dtype = jnp.bfloat16 if bf16 else jnp.float32
+    if bf16:
+        x2t = x2t.astype(dtype)
+        wk = wk.astype(dtype)
+    kern = functools.partial(_kernel, g_groups=g_groups, win=win, c2=c2,
+                             dtype=dtype)
     return pl.pallas_call(
         kern,
         grid=(num_tiles,),
@@ -171,7 +177,10 @@ def pallas_s2d_conv_wk(x: jnp.ndarray, wk: jnp.ndarray, gc: int, L: int,
     original s2d kernel's (in-channels, taps) — static ints.  variant:
     'dma' = one manual window DMA per tile (serial with compute);
     'db' = pipeline-managed dual-block windows (auto double buffering,
-    each block fetched twice)."""
+    each block fetched twice);
+    'bf16' = 'dma' with bf16 patches/weights and f32 MXU accumulation —
+    2x matmul throughput AND half the patch-copy bytes, so it wins in
+    either bottleneck regime; tolerance pinned by test_bf16_variant."""
     c2 = wk.shape[1]
     n = x.shape[-1]
     m_out = -(-n // decim)
@@ -197,7 +206,8 @@ def pallas_s2d_conv_wk(x: jnp.ndarray, wk: jnp.ndarray, gc: int, L: int,
                       num_tiles=num_tiles, interpret=interpret)
     else:
         out = _run(x2t, wk, g_groups=g_groups, win=win, c2=c2,
-                   num_tiles=num_tiles, interpret=interpret)
+                   num_tiles=num_tiles, interpret=interpret,
+                   bf16=(variant == "bf16"))
     return out[:, :m_out]
 
 

@@ -32,7 +32,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import numpy as np  # noqa: E402
 
-PROBES = ("fused16", "pallas16", "pallas16_db", "pallas96", "pallas96_db",
+PROBES = ("fused16", "pallas16", "pallas16_db", "pallas16_bf16",
+          "pallas96", "pallas96_db", "pallas96_bf16",
           "s2d16", "s2d16_of4", "s2d16_of8", "s2d16_bf16", "s2d16_k4",
           "s2d16_n4", "s2d16_n8", "pfb96", "pfb96_s2d",
           "pfb96_s2d_bf16", "tail16", "tail96", "cand16", "cand96",
@@ -92,13 +93,15 @@ def _build(probe: str, scale: int):
             return jnp.sum(yr) + jnp.sum(yi)
         return (lambda: fn(x, kd)), n
 
-    if probe in ("pallas16", "pallas16_db", "pallas96", "pallas96_db"):
+    if probe in ("pallas16", "pallas16_db", "pallas16_bf16",
+              "pallas96", "pallas96_db", "pallas96_bf16"):
         # MXU-mapped Pallas s2d conv (ops/pallas/s2d_conv.py): does the
         # hand-written GEMM formulation beat the ~VPU-floor XLA conv?
         # _db = pipeline-managed double-buffered window variant; 96 =
         # the full-band PFB kernel (192 output channels).
         from tetraear_tpu.ops.pallas import s2d_conv as psc
-        variant = "db" if probe.endswith("db") else "dma"
+        variant = ("db" if probe.endswith("db")
+                   else "bf16" if probe.endswith("bf16") else "dma")
         k2 = np.asarray(fused.s2d_kernel(kernel, decim))
         _c2, ich, lp = k2.shape
         wkd = jax.device_put(jnp.asarray(psc._group_weights(k2, decim)))
