@@ -144,7 +144,7 @@ def _run_tier(tier: str, num_carriers: int, scale: int, iters: int):
         zero = jnp.int32(0)
         rate = _verified_rate(lambda x: fn(x, zero), digest, xs, n, iters)
         return rate, "fused_s2d_of_demod_decode", num_carriers
-    if tier in ("fused_pallas", "fused_pallas_db", "fused_pallas_bf16"):
+    if tier.startswith("fused_pallas"):   # _db/_bf16/_of4/_of4_bf16
         # MXU-mapped Pallas conv stage (ops/pallas/s2d_conv.py); not in
         # the default TIERS until a healthy-window head-to-head shows it
         # ahead — enable via BENCH_TIERS=fused_pallas,...

@@ -165,6 +165,59 @@ class TestPallasS2dConv:
             # decision margin)
             assert err < 1e-2 * np.abs(want).max(), err
 
+    def test_of4_variant(self, rng):
+        """Output-folded variant (fold=4: 32*4 = 128 MXU output rows,
+        4x fewer patch-copy bytes/position) == XLA s2d at f32
+        accumulation-order tolerance; of4_bf16 at bf16 tolerance."""
+        from tetraear_tpu.ops import fused
+        from tetraear_tpu.ops.pallas.s2d_conv import pallas_s2d_conv
+        ks, gc, L, decim = self._kernel(16)
+        for n in (40_000, 40_000 + 7, 12_345):
+            r = np.random.default_rng(0x0F4 ^ n)
+            x = (r.standard_normal(n) + 1j * r.standard_normal(n)
+                 ).astype(np.complex64) * 0.1
+            want = np.asarray(fused._s2d_conv(jnp.asarray(x), ks, gc, L,
+                                              decim))
+            got = np.asarray(pallas_s2d_conv(jnp.asarray(x), ks, gc, L,
+                                             decim, variant="of4"))
+            assert got.shape == want.shape
+            scale = np.abs(want).max()
+            assert np.abs(got - want).max() < 4e-6 * scale
+            gb = np.asarray(pallas_s2d_conv(jnp.asarray(x), ks, gc, L,
+                                            decim, variant="of4_bf16"))
+            assert np.abs(gb - want).max() < 1e-2 * scale
+
+    def test_of_group_weights_cover_all_taps(self):
+        """Every (channel, tap) weight of the of kernel lands in exactly
+        one group slot of the folded layout (mirror of the plain test)."""
+        from tetraear_tpu.ops.pallas.s2d_conv import of_group_weights
+        ks, _gc, _L, decim = self._kernel(16)
+        k2 = np.asarray(ks)
+        c2, ich, lp = k2.shape
+        fold = 4
+        wk = of_group_weights(k2, decim, fold)
+        ich_of = ich * fold
+        lp_of = -(-(lp + fold - 1) // fold)
+        blk = -(-ich_of // 8) * 8
+        tpg = 128 // blk
+        assert wk.shape == (-(-lp_of // tpg), c2 * fold, 128)
+        # reassemble K3f and check it against the definition
+        # K3f[c*F+r, rf*2D+i, af] = K2[c, i, af*F + rf - r]
+        for g in range(wk.shape[0]):
+            for a in range(tpg):
+                af = g * tpg + a
+                if af >= lp_of:
+                    assert not wk[g, :, a * blk:].any()
+                    continue
+                blkv = wk[g, :, a * blk:a * blk + ich_of]
+                for rf in range(fold):
+                    for r in range(fold):
+                        t = af * fold + rf - r
+                        exp = (k2[:, :, t] if 0 <= t < lp
+                               else np.zeros((c2, ich), np.float32))
+                        np.testing.assert_array_equal(
+                            blkv[r::fold, rf * ich:(rf + 1) * ich], exp)
+
     def test_pfb_192_channel_kernel(self, rng):
         """Same kernel covers the full-band PFB shape (192 out channels)."""
         from tetraear_tpu.config import ReceiverConfig

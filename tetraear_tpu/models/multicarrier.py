@@ -239,8 +239,9 @@ class MulticarrierFrontend:
         z_rot = fused.symbol_rotation(rot_np, decim,
                                       cfg.ref_samples_per_symbol)
 
-        if self.fused in ("s2d", "s2d_of", "pallas", "pallas_db",
-                          "pallas_bf16"):
+        if self.fused == "s2d" or self.fused == "s2d_of" or (
+                isinstance(self.fused, str)
+                and self.fused.startswith("pallas")):
             # THREE dispatched programs (conv -> demod tail -> candidates):
             # consecutive blocks pipeline on the backend, so steady-state
             # throughput is set by the slowest stage (the conv, 34 ms at
@@ -265,7 +266,26 @@ class MulticarrierFrontend:
                 def conv_prog(x, kern):
                     return fused.fused_channelize_s2d_of_ri(
                         x, kern, gc, L, decim, fold)
-            elif self.fused in ("pallas", "pallas_db", "pallas_bf16"):
+            elif self.fused.startswith("pallas_of"):
+                # output-folded MXU Pallas conv: C2*fold output rows
+                # fill all 128 MXU lanes, fold x fewer patch-copy bytes
+                from tetraear_tpu.ops.pallas.s2d_conv import (
+                    of_group_weights, pallas_s2d_conv_of_wk)
+                tok = self.fused.removeprefix("pallas_of")   # "4"/"4_bf16"
+                fold = int(tok.split("_")[0])
+                k2 = np.asarray(fused.s2d_kernel(kernel, decim))
+                _c2p, ich, lp = k2.shape
+                kernel_dev = jax.device_put(
+                    jnp.asarray(of_group_weights(k2, decim, fold)))
+                pbf16 = tok.endswith("bf16")
+
+                @jax.jit
+                def conv_prog(x, kern):
+                    out = pallas_s2d_conv_of_wk(x, kern, gc, L, decim,
+                                                fold, ich, lp, bf16=pbf16)
+                    c2h = out.shape[0] // 2
+                    return out[:c2h], out[c2h:]
+            elif self.fused.startswith("pallas"):
                 # MXU-mapped Pallas conv stage (ops/pallas/s2d_conv.py):
                 # same contraction as the s2d conv, stated as explicit
                 # matmuls; interpret-mode off-TPU

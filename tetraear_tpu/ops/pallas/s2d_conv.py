@@ -54,7 +54,8 @@ SUBLANES = 32         # DMA window sublane count (power of two)
 
 
 def _kernel(x_hbm, wk_ref, out_ref, *, g_groups: int, win: int, c2: int,
-            dtype=jnp.float32):
+            dtype=jnp.float32, blk: int = BLK, tpg: int = TPG,
+            sub: int = SUBLANES):
     i = pl.program_id(0)
 
     def body(xw, pg, sem):
@@ -63,25 +64,27 @@ def _kernel(x_hbm, wk_ref, out_ref, *, g_groups: int, win: int, c2: int,
         copy.start()
         copy.wait()
 
-        # rows BLK*TPG..128 of the patch are never written by the loop;
+        # rows blk*tpg..128 of the patch are never written by the loop;
         # zero them once so 0-weight columns never meet garbage VMEM
         # (0 * NaN would poison the accumulator)
-        pg[BLK * TPG:128, :] = jnp.zeros((128 - BLK * TPG, TILE_W), dtype)
+        if blk * tpg < 128:
+            pg[blk * tpg:128, :] = jnp.zeros((128 - blk * tpg, TILE_W),
+                                             dtype)
         acc = jnp.zeros((c2, TILE_W), jnp.float32)
         for g in range(g_groups):
-            # patch rows a*BLK..a*BLK+BLK = input rows 0..BLK at lane
-            # shift g*TPG + a (rows >= 2D are zero padding; the matching
+            # patch rows a*blk..a*blk+blk = input rows 0..blk at lane
+            # shift g*tpg + a (rows >= ich are zero padding; the matching
             # weight columns are zero, so they contribute nothing)
-            for a in range(TPG):
-                off = g * TPG + a
-                pg[a * BLK:(a + 1) * BLK, :] = xw[0:BLK, off:off + TILE_W]
+            for a in range(tpg):
+                off = g * tpg + a
+                pg[a * blk:(a + 1) * blk, :] = xw[0:blk, off:off + TILE_W]
             acc = acc + jax.lax.dot_general(
                 wk_ref[g], pg[...], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
         out_ref[...] = acc
 
     pl.run_scoped(body,
-                  pltpu.VMEM((SUBLANES, win), dtype),
+                  pltpu.VMEM((sub, win), dtype),
                   pltpu.VMEM((128, TILE_W), dtype),
                   pltpu.SemaphoreType.DMA(()))
 
@@ -146,15 +149,16 @@ def _group_weights(k2: np.ndarray, decim: int) -> np.ndarray:
 
 @functools.partial(jax.jit, static_argnames=("g_groups", "win", "c2",
                                              "num_tiles", "interpret",
-                                             "bf16"))
+                                             "bf16", "blk", "tpg", "sub"))
 def _run(x2t, wk, *, g_groups: int, win: int, c2: int, num_tiles: int,
-         interpret: bool, bf16: bool = False):
+         interpret: bool, bf16: bool = False, blk: int = BLK,
+         tpg: int = TPG, sub: int = SUBLANES):
     dtype = jnp.bfloat16 if bf16 else jnp.float32
     if bf16:
         x2t = x2t.astype(dtype)
         wk = wk.astype(dtype)
     kern = functools.partial(_kernel, g_groups=g_groups, win=win, c2=c2,
-                             dtype=dtype)
+                             dtype=dtype, blk=blk, tpg=tpg, sub=sub)
     return pl.pallas_call(
         kern,
         grid=(num_tiles,),
@@ -211,12 +215,102 @@ def pallas_s2d_conv_wk(x: jnp.ndarray, wk: jnp.ndarray, gc: int, L: int,
     return out[:, :m_out]
 
 
+def of_group_weights(k2: np.ndarray, decim: int, fold: int) -> np.ndarray:
+    """Output-folded grouped weights: plain s2d kernel (C2, 2D, Lp) ->
+    (G, C2*fold, 128) MXU weights for the stride-1 view of the stride-
+    `fold` of conv (see pallas_s2d_conv_of_wk).
+
+    Derivation: with K3[c*F+r, i, a2] = K2[c, i, a2-r] (the of kernel,
+    ops/fused.s2d_of_kernel) and the free input regroup
+    X2f[wf, rf*2D+i] = X2[wf*F+rf, i], splitting a2 = af*F + rf gives
+
+        out_of[cf, wf] = sum_{af, q} K3f[cf, q, af] X2f[wf+af, q],
+        K3f[cf, rf*2D + i, af] = K3[cf, i, af*F + rf]
+
+    — a stride-1 s2d conv with ich' = 2D*F input channels and
+    lp' = ceil((Lp+F-1)/F) taps, grouped here exactly like
+    _group_weights (blk' = ich' rows per tap, tpg' = 128//blk')."""
+    c2, ich, lp = k2.shape
+    la = lp + fold - 1
+    k3 = np.zeros((c2, fold, ich, la), np.float32)
+    for r in range(fold):
+        k3[:, r, :, r:r + lp] = k2
+    k3 = k3.reshape(c2 * fold, ich, la)                  # (C2F, 2D, La)
+    ich_of = ich * fold
+    lp_of = -(-la // fold)
+    k3p = np.zeros((c2 * fold, ich, lp_of * fold), np.float32)
+    k3p[:, :, :la] = k3
+    # [cf, i, af, rf] -> [cf, rf*2D + i, af]
+    k3f = np.ascontiguousarray(
+        k3p.reshape(c2 * fold, ich, lp_of, fold).transpose(0, 3, 1, 2)
+    ).reshape(c2 * fold, ich_of, lp_of)
+    blk = -(-ich_of // 8) * 8
+    tpg = 128 // blk
+    g_groups = -(-lp_of // tpg)
+    wk = np.zeros((g_groups, c2 * fold, 128), np.float32)
+    for g in range(g_groups):
+        for a in range(tpg):
+            t = g * tpg + a
+            if t < lp_of:
+                wk[g, :, a * blk:a * blk + ich_of] = k3f[:, :, t]
+    return wk
+
+
+def pallas_s2d_conv_of_wk(x: jnp.ndarray, wk: jnp.ndarray, gc: int,
+                          L: int, decim: int, fold: int, ich: int,
+                          lp: int, bf16: bool = False) -> jnp.ndarray:
+    """Output-folded traceable core: x (N,) complex64 + of_group_weights
+    wk (G, C2*fold, 128) -> (C2, m_out) f32, same contraction as
+    pallas_s2d_conv_wk but with `fold` consecutive output positions
+    folded into MXU output rows (C2*fold fills all 128 output lanes for
+    the 16-carrier C2=32, fold=4) and fold x fewer patch-copy bytes per
+    output position.  ich/lp are the ORIGINAL s2d kernel's dims."""
+    c2f = wk.shape[1]
+    c2 = c2f // fold
+    n = x.shape[-1]
+    m_out = -(-n // decim)
+    pad_l = L - 1 - gc
+    wr = -(-m_out // fold)
+
+    ich_of = ich * fold
+    lp_of = -(-(lp + fold - 1) // fold)
+    blk = -(-ich_of // 8) * 8
+    tpg = 128 // blk
+    sub = max(32, 1 << (blk - 1).bit_length())           # pow2 >= blk
+    g_groups = -(-lp_of // tpg)
+    num_tiles = -(-wr // TILE_W)
+    raw_win = TILE_W + g_groups * tpg - 1
+    win = -(-raw_win // 128) * 128
+
+    w_pad = (num_tiles - 1) * TILE_W + win               # X2f rows read
+    total = w_pad * fold * decim
+    xri = jnp.stack([jnp.real(x), jnp.imag(x)], axis=-1)      # (N, 2)
+    xpad = jnp.pad(xri, ((pad_l, total - pad_l - n), (0, 0)))
+    x2f = xpad.reshape(w_pad, ich_of)                    # free reshape
+    x2t = jnp.pad(x2f.T, ((0, sub - ich_of), (0, 0)))    # (sub, W')
+
+    interpret = jax.default_backend() != "tpu"
+    out = _run(x2t, wk, g_groups=g_groups, win=win, c2=c2f,
+               num_tiles=num_tiles, interpret=interpret, bf16=bf16,
+               blk=blk, tpg=tpg, sub=sub)
+    # un-fold: (C2*F, wr) -> (C2, wr*F); rows c*F+r hold position w*F+r
+    out = out[:, :wr].reshape(c2, fold, wr).transpose(0, 2, 1)
+    return out.reshape(c2, wr * fold)[:, :m_out]
+
+
 def pallas_s2d_conv(x: jnp.ndarray, kernel_s2d, gc: int, L: int,
                     decim: int, variant: str = "dma") -> jnp.ndarray:
     """Drop-in for ops/fused._s2d_conv: (N,) complex64 -> (2C, m_out) f32
-    un-derotated channel pair rows (block order [re.., im..])."""
+    un-derotated channel pair rows (block order [re.., im..]).
+    variant 'of4'/'of4_bf16' = output-folded (fold=4)."""
     k2 = np.asarray(kernel_s2d)
     c2, ich, lp = k2.shape
-    assert ich == 2 * decim and ich <= BLK, (ich, decim)
+    assert ich == 2 * decim, (ich, decim)
+    if variant.startswith("of"):
+        fold = int(variant.split("_")[0][2:])
+        wk = jnp.asarray(of_group_weights(k2, decim, fold))
+        return pallas_s2d_conv_of_wk(x, wk, gc, L, decim, fold, ich, lp,
+                                     bf16=variant.endswith("bf16"))
+    assert ich <= BLK, (ich, decim)
     wk = jnp.asarray(_group_weights(k2, decim))
     return pallas_s2d_conv_wk(x, wk, gc, L, decim, ich, lp, variant=variant)

@@ -33,12 +33,17 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 import numpy as np  # noqa: E402
 
 PROBES = ("fused16", "pallas16", "pallas16_db", "pallas16_bf16",
+          "pallas16_of4", "pallas16_of4_bf16",
           "pallas96", "pallas96_db", "pallas96_bf16",
           "s2d16", "s2d16_of4", "s2d16_of8", "s2d16_bf16", "s2d16_k4",
           "s2d16_n4", "s2d16_n8", "pfb96", "pfb96_s2d",
           "pfb96_s2d_bf16", "tail16", "tail96", "cand16", "cand96",
           "front16_s2d", "front96_s2d", "split16_s2d", "split16_of4",
           "split96_s2d", "crc96", "topk96", "wingather96")
+
+# kernel selection keys on "96" (see _build); a probe name carrying
+# neither marker would silently get the 16-carrier kernel
+assert all("96" in p or "16" in p for p in PROBES), PROBES
 
 
 def _build(probe: str, scale: int):
@@ -61,10 +66,12 @@ def _build(probe: str, scale: int):
     x = put_complex(((rng.standard_normal(n) + 1j * rng.standard_normal(n))
                      * 0.1).astype(np.complex64))
 
-    # "16" anywhere in the name selects the 16-carrier kernel (of4/of8/bf16
-    # suffixes broke an endswith check once — mislabeled 96-ch numbers);
-    # pfb96_s2d_bf16 contains "16" too, hence the explicit pfb exclusion.
-    if "16" in probe and not probe.startswith("pfb"):
+    # "96" anywhere in the name selects the 96-channel PFB kernel, else
+    # the 16-carrier kernel.  (Earlier selectors keyed on "16" and were
+    # broken twice by suffixes: of4/of8 endswith, then the bf16 suffix
+    # putting "16" into 96-channel names.  Every 96-probe contains "96"
+    # and no 16-probe does — asserted at startup below.)
+    if "96" not in probe:
         offs = ((np.arange(16) - 8) * 25e3).astype(np.float64)
         kernel, gc, rot = fused.fused_kernel(
             offs, cfg.sample_rate_hz, decim, cfg.decim_fir_taps_per_phase,
@@ -112,6 +119,23 @@ def _build(probe: str, scale: int):
                                          variant=v)
             return jnp.sum(out)
         return (lambda: fn_pallas(x, wkd, variant)), n
+
+    if probe in ("pallas16_of4", "pallas16_of4_bf16"):
+        # output-folded Pallas conv: C2*4 = 128 output rows fill the MXU
+        # and patch-copy bytes drop 4x per output position
+        from tetraear_tpu.ops.pallas import s2d_conv as psc
+        k2 = np.asarray(fused.s2d_kernel(kernel, decim))
+        _c2, ich, lp = k2.shape
+        wkd = jax.device_put(jnp.asarray(psc.of_group_weights(k2, decim,
+                                                              4)))
+        pbf16 = probe.endswith("bf16")
+
+        @jax.jit
+        def fn_pallas_of(xc, wk):
+            out = psc.pallas_s2d_conv_of_wk(xc, wk, gc, L, decim, 4,
+                                            ich, lp, bf16=pbf16)
+            return jnp.sum(out)
+        return (lambda: fn_pallas_of(x, wkd)), n
 
     if probe in ("s2d16_n4", "s2d16_n8"):
         # block-batched s2d conv: B independent blocks as the conv's N
