@@ -299,32 +299,40 @@ def main() -> int:
     lock = device_measure_lock()
     lock.__enter__()
 
-    # quick f32 probe first — on a wedged tunnel every tier child would
-    # burn its full budget, so classify before launching tiers.  Wedged
-    # windows have been observed to recover on minute scales, so retry
-    # the cheap probe for a bounded wait (BENCH_PROBE_WAIT_S, default
-    # 10 min) before conceding to the CPU fallback: a one-shot probe at
-    # an unlucky instant would otherwise record a ~4 MS/s CPU number for
-    # a chip that is healthy again two minutes later.
-    probe = ("import numpy as np, jax, jax.numpy as jnp;"
-             "x = jnp.asarray(np.ones(260_000, np.float32));"
-             "print('OK', float(np.asarray(jnp.sum(x))))")
+    # health-classify first — on a wedged tunnel every tier child would
+    # burn its full budget, so gate on tools/tpu_health.py BEFORE
+    # launching tiers.  A bare f32 digest is NOT a sufficient gate:
+    # window classes are op-dependent on this backend (an f32 probe can
+    # pass while top_k/gather-class programs — which every decode tier
+    # runs — still hang; see CLAUDE.md).  We require the op classes the
+    # tiers actually execute: f32 + gather + top_k.  c64 probes may
+    # fail — the real-pair tiers exist for exactly those windows.
+    # Wedged windows recover on minute scales, so retry for a bounded
+    # wait (BENCH_PROBE_WAIT_S, default 10 min) before conceding to the
+    # CPU fallback.  measure_watch.sh verifies health under the same
+    # device-lock hold immediately before invoking bench; it sets
+    # BENCH_SKIP_PROBE=1 so the scarce window isn't spent re-probing.
+    health_py = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "tools", "tpu_health.py")
+    need_ok = ("f32_add", "f32_matmul", "gather", "top_k")
     probe_wait = float(os.environ.get("BENCH_PROBE_WAIT_S", 600))
     probe_deadline = time.monotonic() + probe_wait
-    probe_ok = False
-    while True:
+    probe_ok = os.environ.get("BENCH_SKIP_PROBE") == "1"
+    while not probe_ok:
         try:
-            pr = subprocess.run([sys.executable, "-c", probe],
-                                capture_output=True, text=True, timeout=90)
-            probe_ok = pr.returncode == 0 and "OK" in pr.stdout
+            pr = subprocess.run([sys.executable, health_py],
+                                capture_output=True, text=True, timeout=540)
+            oks = {ln.split()[1] for ln in pr.stdout.splitlines()
+                   if ln.startswith("OK ") and len(ln.split()) > 1}
+            probe_ok = all(p in oks for p in need_ok)
         except subprocess.TimeoutExpired:
             probe_ok = False
         if probe_ok or time.monotonic() >= probe_deadline:
             break
-        print("[bench] accelerator probe failed/hung; retrying "
+        print("[bench] health probe not tier-capable; retrying "
               f"({max(0.0, probe_deadline - time.monotonic()):.0f}s left)",
               file=sys.stderr)
-        time.sleep(min(120, max(1.0, probe_deadline - time.monotonic())))
+        time.sleep(min(60, max(1.0, probe_deadline - time.monotonic())))
     if not probe_ok:
         print("[bench] accelerator probe failed/hung; skipping tiers",
               file=sys.stderr)
@@ -336,7 +344,8 @@ def main() -> int:
     # "fused_pallas,fused_s2d" for a same-window head-to-head of a
     # not-yet-promoted tier); unknown names fail loudly in the child
     tiers = TIERS
-    if os.environ.get("BENCH_TIERS"):
+    custom_tiers = bool(os.environ.get("BENCH_TIERS"))
+    if custom_tiers:
         tiers = tuple(t.strip() for t in
                       os.environ["BENCH_TIERS"].split(",") if t.strip())
 
@@ -347,17 +356,23 @@ def main() -> int:
             break             # two hung tiers: the tunnel wedged mid-run
             # (a single hang can be a transient — observed healthy
             # windows alternate hang/success across child processes)
-        if results and t not in ("fused", "fused_s2d", "fused_s2d_of",
-                                 "complex", "pfb"):
-            break             # a full-decode tier verified; lower tiers
-            # are strictly-worse fallbacks, not extra data
-        if t in ("fused", "complex") and any(
-                r.get("variant", "").startswith("fused")
-                for r in results):
-            continue          # a fused tier already proved the full
-            # decode; the strided/staged variants are the same decisions,
-            # strictly slower (and the strided conv has been observed to
-            # hang its child on this backend since the kernel reorder)
+        # An explicit BENCH_TIERS list is a head-to-head request: run
+        # EVERY listed tier (the early-break/skip logic below exists to
+        # save time on the default fallback chain and would otherwise
+        # end the A/B after the first verified tier).
+        if not custom_tiers:
+            if results and t not in ("fused", "fused_s2d", "fused_s2d_of",
+                                     "complex", "pfb"):
+                break         # a full-decode tier verified; lower tiers
+                # are strictly-worse fallbacks, not extra data
+            if t in ("fused", "complex") and any(
+                    r.get("variant", "").startswith("fused")
+                    for r in results):
+                continue      # a fused tier already proved the full
+                # decode; the strided/staged variants are the same
+                # decisions, strictly slower (and the strided conv has
+                # been observed to hang its child on this backend since
+                # the kernel reorder)
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--tier", t],

@@ -76,7 +76,9 @@ class TestFrameFilter:
 class TestStats:
     def test_counters(self, frames):
         st = frames_stats(frames)
-        assert st.total == 15
+        # 15 lines in the golden, minus the __meta__ header record that
+        # read_frames must skip (it is not a frame)
+        assert st.total == 14
         assert st.encrypted == 9 and st.decrypted == 9
         assert st.sds == 14
         assert st.by_type["MAC-FRAG"] == 3
@@ -91,7 +93,9 @@ class TestStats:
 class TestReadFrames:
     def test_skips_malformed_lines(self, tmp_path):
         p = tmp_path / "log.jsonl"
-        p.write_text('{"type_name": "A"}\nnot json\n\n{"type_name": "B"}\n')
+        p.write_text('{"__meta__": {"generator": "x"}}\n'
+                     '{"type_name": "A"}\nnot json\n[1, 2]\n\n'
+                     '{"type_name": "B"}\n')
         assert [f["type_name"] for f in read_frames(p)] == ["A", "B"]
 
 
@@ -123,7 +127,7 @@ class TestCLI:
     def test_stats(self, capsys):
         assert self._run(["frames", str(GOLDEN), "--stats"]) == 0
         out = capsys.readouterr().out
-        assert "frames=15" in out and "MAC-FRAG:3" in out
+        assert "frames=14" in out and "MAC-FRAG:3" in out
 
     def test_filter_to_jsonl(self, tmp_path, capsys):
         dst = tmp_path / "enc.jsonl"

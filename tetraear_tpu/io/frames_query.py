@@ -30,7 +30,7 @@ class FrameFilter:
         meta = frame.get("call_metadata") or {}
         if self.types:
             name = str(frame.get("type_name", "")).lower()
-            if name not in self.types:
+            if name not in tuple(str(t).lower() for t in self.types):
                 return False
         if self.group is not None and meta.get("talkgroup_id") != self.group:
             return False
@@ -38,7 +38,8 @@ class FrameFilter:
                 meta.get("source_ssi"), meta.get("dest_ssi")):
             return False
         if self.call_type is not None:
-            if str(meta.get("call_type", "")).lower() != self.call_type:
+            if (str(meta.get("call_type", "")).lower()
+                    != str(self.call_type).lower()):
                 return False
         if self.timeslot is not None \
                 and frame.get("timeslot") != self.timeslot:
@@ -52,16 +53,21 @@ class FrameFilter:
 
 
 def read_frames(path) -> Iterator[dict]:
-    """Yield frame dicts from a JSONL log, skipping malformed lines."""
+    """Yield frame dicts from a JSONL log, skipping malformed lines and
+    non-frame header records (golden fixtures start with a ``__meta__``
+    line — see tests/conformance/test_golden_fixtures.py)."""
     with Path(path).open(encoding="utf-8") as fp:
         for line in fp:
             line = line.strip()
             if not line:
                 continue
             try:
-                yield json.loads(line)
+                rec = json.loads(line)
             except json.JSONDecodeError:
                 continue
+            if not isinstance(rec, dict) or "__meta__" in rec:
+                continue
+            yield rec
 
 
 def filter_frames(frames: Iterable[dict], flt: FrameFilter) -> Iterator[dict]:

@@ -239,6 +239,16 @@ class MulticarrierFrontend:
         z_rot = fused.symbol_rotation(rot_np, decim,
                                       cfg.ref_samples_per_symbol)
 
+        if isinstance(self.fused, str) and self.fused not in (
+                "s2d", "s2d_of", "fused") and not self.fused.startswith(
+                "pallas"):
+            # fail loudly: an unknown variant string must not silently
+            # fall through to the legacy fused path and get
+            # measured/labeled as the variant that never ran
+            raise ValueError(
+                f"unknown fused variant {self.fused!r}; valid: s2d, "
+                "s2d_of, pallas[_db|_bf16], pallas_of<N>[_bf16], "
+                "fused/True")
         if self.fused == "s2d" or self.fused == "s2d_of" or (
                 isinstance(self.fused, str)
                 and self.fused.startswith("pallas")):
@@ -272,7 +282,12 @@ class MulticarrierFrontend:
                 from tetraear_tpu.ops.pallas.s2d_conv import (
                     of_group_weights, pallas_s2d_conv_of_wk)
                 tok = self.fused.removeprefix("pallas_of")   # "4"/"4_bf16"
-                fold = int(tok.split("_")[0])
+                parts = tok.split("_")
+                if not parts[0].isdigit() or parts[1:] not in ([], ["bf16"]):
+                    raise ValueError(
+                        f"unknown pallas_of variant {self.fused!r}; valid: "
+                        "pallas_of<N>, pallas_of<N>_bf16")
+                fold = int(parts[0])
                 k2 = np.asarray(fused.s2d_kernel(kernel, decim))
                 _c2p, ich, lp = k2.shape
                 kernel_dev = jax.device_put(
@@ -289,6 +304,13 @@ class MulticarrierFrontend:
                 # MXU-mapped Pallas conv stage (ops/pallas/s2d_conv.py):
                 # same contraction as the s2d conv, stated as explicit
                 # matmuls; interpret-mode off-TPU
+                if self.fused not in ("pallas", "pallas_db", "pallas_bf16"):
+                    # fail loudly: a typo'd variant must not silently run
+                    # (and get measured/labeled as) a different kernel
+                    raise ValueError(
+                        f"unknown pallas conv variant {self.fused!r}; "
+                        "valid: pallas, pallas_db, pallas_bf16, "
+                        "pallas_of<N>[_bf16]")
                 from tetraear_tpu.ops.pallas.s2d_conv import (
                     _group_weights, pallas_s2d_conv_wk)
                 k2 = np.asarray(fused.s2d_kernel(kernel, decim))
@@ -413,6 +435,14 @@ class PfbMulticarrierFrontend:
             return run
 
         if self.fused:
+            if isinstance(self.fused, str) and self.fused not in (
+                    "pallas", "pallas_db", "pallas_bf16", "s2d", "s2d_mono"):
+                # fail loudly: an unknown variant string must not silently
+                # fall through to the legacy fused_channelize_ri path and
+                # get measured/labeled as the variant that never ran
+                raise ValueError(
+                    f"unknown PFB fused variant {self.fused!r}; valid: "
+                    "s2d, s2d_mono, pallas, pallas_db, pallas_bf16, True")
             from tetraear_tpu.ops import fused
             from tetraear_tpu.models.realpair import _demod_from_pair
             kernel, gc, rot = fused.pfb_kernel(

@@ -231,6 +231,13 @@ def of_group_weights(k2: np.ndarray, decim: int, fold: int) -> np.ndarray:
     lp' = ceil((Lp+F-1)/F) taps, grouped here exactly like
     _group_weights (blk' = ich' rows per tap, tpg' = 128//blk')."""
     c2, ich, lp = k2.shape
+    # 128-lane constraint (same reason as the 'ich <= BLK' guard on the
+    # plain path): the folded input channels must fit one MXU block, or
+    # tpg = 128 // blk below is 0 and the grouping math divides by zero
+    if ich * fold > 128:
+        raise ValueError(
+            f"of_group_weights: ich*fold = {ich}*{fold} = {ich * fold} "
+            "> 128 MXU lanes; lower the fold for this decimation")
     la = lp + fold - 1
     k3 = np.zeros((c2, fold, ich, la), np.float32)
     for r in range(fold):

@@ -950,6 +950,15 @@ def cmd_frames(args) -> int:
     matched = filter_frames(read_frames(src), flt)
 
     if args.stats:
+        if args.out:
+            # honor both: write the matching frames AND print the panel
+            # (silently dropping -o confused scripted callers)
+            import json as _json
+            rows = list(matched)
+            with open(args.out, "w", encoding="utf-8") as fp:
+                for frame in rows:
+                    fp.write(_json.dumps(frame) + "\n")
+            matched = rows
         st = frames_stats(matched)
         print(f"frames={st.total} crc_pass={st.crc_pass} "
               f"encrypted={st.encrypted} decrypted={st.decrypted} "

@@ -33,14 +33,14 @@ echo "=== healthy at $(date +%H:%M:%S) ==="
 # bench FIRST: it is the headline number and short windows can close
 # before a long probe list finishes
 echo "=== full bench ==="
-timeout 3600 python bench.py 2>/tmp/measure_bench.err
+BENCH_SKIP_PROBE=1 timeout 3600 python bench.py 2>/tmp/measure_bench.err
 grep "tier" /tmp/measure_bench.err
 for p in "$@"; do
   case "$p" in
     bench:*)
       echo "=== bench tiers ${p#bench:} ==="
-      BENCH_TIERS="${p#bench:}" timeout 2400 python bench.py \
-        2>/tmp/measure_bench_ab.err
+      BENCH_TIERS="${p#bench:}" BENCH_SKIP_PROBE=1 timeout 2400 \
+        python bench.py 2>/tmp/measure_bench_ab.err
       grep "tier" /tmp/measure_bench_ab.err
       ;;
     *)

@@ -41,9 +41,13 @@ PROBES = ("fused16", "pallas16", "pallas16_db", "pallas16_bf16",
           "front16_s2d", "front96_s2d", "split16_s2d", "split16_of4",
           "split96_s2d", "crc96", "topk96", "wingather96")
 
-# kernel selection keys on "96" (see _build); a probe name carrying
-# neither marker would silently get the 16-carrier kernel
-assert all("96" in p or "16" in p for p in PROBES), PROBES
+# kernel selection keys on the FIRST underscore token (see _build):
+# suffix tokens broke "anywhere"-style selectors twice (of4/of8
+# endswith-"16", then bf16 putting "16" into 96-channel names).  Assert
+# every probe's first token carries exactly one carrier marker so a
+# misrouted name cannot produce mislabeled measurements a third time.
+assert all(("96" in p.split("_")[0]) != ("16" in p.split("_")[0])
+           for p in PROBES), PROBES
 
 
 def _build(probe: str, scale: int):
@@ -66,12 +70,13 @@ def _build(probe: str, scale: int):
     x = put_complex(((rng.standard_normal(n) + 1j * rng.standard_normal(n))
                      * 0.1).astype(np.complex64))
 
-    # "96" anywhere in the name selects the 96-channel PFB kernel, else
-    # the 16-carrier kernel.  (Earlier selectors keyed on "16" and were
-    # broken twice by suffixes: of4/of8 endswith, then the bf16 suffix
-    # putting "16" into 96-channel names.  Every 96-probe contains "96"
-    # and no 16-probe does — asserted at startup below.)
-    if "96" not in probe:
+    # "96" in the FIRST underscore token selects the 96-channel PFB
+    # kernel, else the 16-carrier kernel.  (Earlier selectors keyed on
+    # markers anywhere in the name and were broken twice by suffixes:
+    # of4/of8 endswith-"16", then the bf16 suffix putting "16" into
+    # 96-channel names.  The first token carries exactly one marker —
+    # asserted at startup above.)
+    if "96" not in probe.split("_")[0]:
         offs = ((np.arange(16) - 8) * 25e3).astype(np.float64)
         kernel, gc, rot = fused.fused_kernel(
             offs, cfg.sample_rate_hz, decim, cfg.decim_fir_taps_per_phase,
