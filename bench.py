@@ -52,6 +52,37 @@ TIERS = ("fused_s2d_of", "fused_s2d", "fused", "complex", "pfb",
 _PFB_VARIANTS = ("s2d", "s2d_mono", "pallas", "pallas_db", "pallas_bf16")
 
 
+def _tier_plan(t: str, results: list, custom: bool) -> str | None:
+    """Pre-run decision for tier `t`: None = run it, "skip" = next tier,
+    "stop" = end the chain.  An explicit BENCH_TIERS list (custom=True)
+    is a head-to-head request: run EVERY listed tier — the early-break /
+    skip logic exists only to save time on the default fallback chain
+    and would otherwise end an A/B after its first verified tier."""
+    if custom:
+        return None
+    if results and t not in ("fused", "fused_s2d", "fused_s2d_of",
+                             "complex", "pfb"):
+        return "stop"         # a full-decode tier verified; lower tiers
+        # are strictly-worse fallbacks, not extra data
+    if t in ("fused", "complex") and any(
+            r.get("variant", "").startswith("fused") for r in results):
+        return "skip"         # a fused tier already proved the full
+        # decode; the strided/staged variants are the same decisions,
+        # strictly slower (and the strided conv has been observed to
+        # hang its child on this backend since the kernel reorder)
+    return None
+
+
+def _after_verified(t: str, custom: bool) -> str:
+    """Post-success decision: "continue" to the next tier or "stop".
+    On the default chain a verified full-decode tier still continues so
+    the 96-channel PFB gets its own number; a custom A/B list always
+    continues (every requested tier must be measured)."""
+    if custom or t in ("fused", "fused_s2d", "fused_s2d_of", "complex"):
+        return "continue"
+    return "stop"
+
+
 def _pfb_variant() -> str:
     """BENCH_PFB_VARIANT, validated — an unknown value must fail loudly,
     not silently select the legacy fused path and mislabel the result."""
@@ -356,23 +387,11 @@ def main() -> int:
             break             # two hung tiers: the tunnel wedged mid-run
             # (a single hang can be a transient — observed healthy
             # windows alternate hang/success across child processes)
-        # An explicit BENCH_TIERS list is a head-to-head request: run
-        # EVERY listed tier (the early-break/skip logic below exists to
-        # save time on the default fallback chain and would otherwise
-        # end the A/B after the first verified tier).
-        if not custom_tiers:
-            if results and t not in ("fused", "fused_s2d", "fused_s2d_of",
-                                     "complex", "pfb"):
-                break         # a full-decode tier verified; lower tiers
-                # are strictly-worse fallbacks, not extra data
-            if t in ("fused", "complex") and any(
-                    r.get("variant", "").startswith("fused")
-                    for r in results):
-                continue      # a fused tier already proved the full
-                # decode; the strided/staged variants are the same
-                # decisions, strictly slower (and the strided conv has
-                # been observed to hang its child on this backend since
-                # the kernel reorder)
+        action = _tier_plan(t, results, custom_tiers)
+        if action == "stop":
+            break
+        if action == "skip":
+            continue
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--tier", t],
@@ -391,7 +410,7 @@ def main() -> int:
             results.append(res)
             print(f"[bench] tier {t}: {res['sps']:.0f} samples/s on "
                   f"{res['backend']}", file=sys.stderr)
-            if t in ("fused", "fused_s2d", "fused_s2d_of", "complex"):
+            if _after_verified(t, custom_tiers) == "continue":
                 continue              # also measure the 96-channel PFB
             break
         print(f"[bench] tier {t} failed "

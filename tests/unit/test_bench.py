@@ -48,6 +48,42 @@ class TestMeasure:
             bench._verified_rate(lambda x: x, hang, [np.zeros(4)], 4, 1)
 
 
+class TestTierPlan:
+    """The tier-chain control decisions (pure helpers) — in particular
+    that an explicit BENCH_TIERS list runs EVERY listed tier: the
+    default chain's early-break once ended A/B runs after their first
+    verified tier, wasting a scarce healthy TPU window."""
+
+    def test_custom_list_runs_every_tier(self, bench):
+        tiers = ("fused_pallas", "fused_pallas_of4", "fused_s2d_of")
+        results = []
+        ran = []
+        for t in tiers:
+            assert bench._tier_plan(t, results, custom=True) is None
+            ran.append(t)
+            results.append({"ok": True, "variant": t})
+            assert bench._after_verified(t, custom=True) == "continue"
+        assert ran == list(tiers)
+
+    def test_default_chain_stops_after_full_decode(self, bench):
+        results = [{"ok": True, "variant": "fused_s2d_of_demod_decode"}]
+        # lower fallbacks don't run once a full-decode tier verified
+        assert bench._tier_plan("realpair64", results, False) == "stop"
+        assert bench._tier_plan("single", results, False) == "stop"
+        # but the PFB still gets its own number
+        assert bench._tier_plan("pfb", results, False) is None
+
+    def test_default_chain_skips_redundant_fused(self, bench):
+        results = [{"ok": True, "variant": "fused_s2d_demod_decode"}]
+        assert bench._tier_plan("fused", results, False) == "skip"
+        assert bench._tier_plan("complex", results, False) == "skip"
+
+    def test_default_post_success(self, bench):
+        assert bench._after_verified("fused_s2d_of", False) == "continue"
+        assert bench._after_verified("pfb", False) == "stop"
+        assert bench._after_verified("realpair64", False) == "stop"
+
+
 class TestCliContract:
     @pytest.mark.slow
     def test_one_json_line(self):
