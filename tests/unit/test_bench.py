@@ -48,40 +48,85 @@ class TestMeasure:
             bench._verified_rate(lambda x: x, hang, [np.zeros(4)], 4, 1)
 
 
-class TestTierPlan:
-    """The tier-chain control decisions (pure helpers) — in particular
-    that an explicit BENCH_TIERS list runs EVERY listed tier: the
-    default chain's early-break once ended A/B runs after their first
-    verified tier, wasting a scarce healthy TPU window."""
+class TestPickTier:
+    """The tier-cycling decisions (pure helper) — in particular that an
+    explicit BENCH_TIERS list measures EVERY listed tier (a scarce
+    healthy window must yield the whole A/B), and that the default chain
+    rotates to robust tiers instead of giving up (round-3 failure: a
+    one-shot probe loop conceded windows where a tier would have run)."""
 
-    def test_custom_list_runs_every_tier(self, bench):
-        tiers = ("fused_pallas", "fused_pallas_of4", "fused_s2d_of")
-        results = []
+    def test_custom_list_measures_every_tier(self, bench):
+        custom = ("fused_pallas", "fused_pallas_of4", "fused_s2d_of")
+        results, attempts = [], {}
         ran = []
-        for t in tiers:
-            assert bench._tier_plan(t, results, custom=True) is None
+        while True:
+            t = bench.pick_tier(results, attempts, custom)
+            if t is None:
+                break
             ran.append(t)
-            results.append({"ok": True, "variant": t})
-            assert bench._after_verified(t, custom=True) == "continue"
-        assert ran == list(tiers)
+            results.append({"ok": True, "tier": t})
+        assert ran == list(custom)
 
-    def test_default_chain_stops_after_full_decode(self, bench):
-        results = [{"ok": True, "variant": "fused_s2d_of_demod_decode"}]
-        # lower fallbacks don't run once a full-decode tier verified
-        assert bench._tier_plan("realpair64", results, False) == "stop"
-        assert bench._tier_plan("single", results, False) == "stop"
-        # but the PFB still gets its own number
-        assert bench._tier_plan("pfb", results, False) is None
+    def test_custom_list_retries_failed_tier(self, bench):
+        custom = ("fused_pallas", "fused_s2d_of")
+        # first tier failed (not in results) -> picked again next cycle
+        results = []
+        attempts = {"fused_pallas": 1}
+        assert bench.pick_tier(results, attempts, custom) == "fused_pallas"
 
-    def test_default_chain_skips_redundant_fused(self, bench):
-        results = [{"ok": True, "variant": "fused_s2d_demod_decode"}]
-        assert bench._tier_plan("fused", results, False) == "skip"
-        assert bench._tier_plan("complex", results, False) == "skip"
+    def test_default_fastest_first_then_pfb_then_done(self, bench):
+        results, attempts = [], {}
+        t = bench.pick_tier(results, attempts, None)
+        assert t == "fused_s2d_of"
+        results.append({"ok": True, "tier": t})
+        assert bench.pick_tier(results, attempts, None) == "pfb"
+        results.append({"ok": True, "tier": "pfb"})
+        assert bench.pick_tier(results, attempts, None) is None
 
-    def test_default_post_success(self, bench):
-        assert bench._after_verified("fused_s2d_of", False) == "continue"
-        assert bench._after_verified("pfb", False) == "stop"
-        assert bench._after_verified("realpair64", False) == "stop"
+    def test_default_rotates_to_robust_tier_on_failures(self, bench):
+        results = []
+        attempts = {"fused_s2d_of": 1}
+        # one failure: the cheaper-attempts tiers get their turn
+        nxt = bench.pick_tier(results, attempts, None)
+        assert nxt in ("fused_s2d", "realpair64")
+        # all full-decode tiers failed twice -> degraded-class fallback
+        attempts = {t: 2 for t in bench.FULL_DECODE_16C}
+        assert bench.pick_tier(results, attempts, None) == "realpair0"
+
+    def test_default_keeps_cycling_after_fallback_exhausted(self, bench):
+        # even with everything failing, the loop never returns None
+        # before the window budget expires (the parent enforces time)
+        attempts = {t: 2 for t in bench.FULL_DECODE_16C}
+        attempts["realpair0"] = 2
+        assert bench.pick_tier([], attempts, None) in bench.FULL_DECODE_16C
+
+
+class TestResultLine:
+    def test_accelerator_line(self, bench):
+        rec = {"sps": 2.4e8, "variant": "fused_s2d_of_demod_decode",
+               "carriers": 16, "backend": "tpu"}
+        r = json.loads(bench._result_line(rec))
+        assert r["metric"] == ("iq_samples_per_sec_per_chip_16carrier_"
+                               "fused_s2d_of_demod_decode")
+        assert r["vs_baseline"] == 100.0
+
+    def test_cpu_floor_line_is_labeled(self, bench):
+        rec = {"sps": 4.6e6, "variant": "demod_decode_realpair",
+               "carriers": 16, "backend": "cpu"}
+        r = json.loads(bench._result_line(rec))
+        assert r["metric"].endswith("_cpu_fallback")
+
+    def test_no_result(self, bench):
+        r = json.loads(bench._result_line(None))
+        assert r["metric"] == "bench_failed" and r["value"] == 0
+
+    def test_reporter_prefers_accelerator(self, bench):
+        rep = bench._Reporter()
+        rep.offer({"sps": 9e9, "backend": "cpu", "variant": "x",
+                   "carriers": 16})
+        rep.offer({"sps": 1e8, "backend": "tpu", "variant": "y",
+                   "carriers": 16})
+        assert rep.best["sps"] == 1e8 and rep.cpu["sps"] == 9e9
 
 
 class TestCliContract:

@@ -1,11 +1,110 @@
-"""Frame authenticity validation (behavioral parity with
-tetraear/core/validator.py:11-181)."""
+"""Frame authenticity validation — a data-driven penalty pipeline.
+
+Behavioral parity with the reference gate (tetraear/core/validator.py:
+11-181): the multiplicative penalty constants, their application ORDER,
+and the issue strings are the conformance contract (pinned bit-for-bit
+by tests/conformance/test_reference_ab.py::TestValidatorAB), but the
+engine here is a declarative rule table folded over the frame —
+each rule inspects the frame (and the validator's cross-frame state)
+and returns a confidence factor plus an optional issue string.  Adding
+or tuning a gate means editing PENALTY / appending to FRAME_RULES, not
+threading another if-block through an imperative routine.
+"""
 
 from __future__ import annotations
 
 import logging
+from typing import Callable, Optional, Tuple
 
 logger = logging.getLogger(__name__)
+
+# Multiplicative penalty factors (reference values — the spec):
+PENALTY = {
+    "crc_failed": 0.3,          # validator.py:96  CRC gate
+    "no_frame_type": 0.5,       # validator.py:101 structure gate
+    "no_network_yet": 0.4,      # validator.py:122 no ID before any net seen
+    "unknown_cipher": 0.7,      # validator.py:131 enc alg not TEA1-4
+    "weak_decrypt": 0.6,        # validator.py:139 decrypt_confidence < 180
+    "mnc_implausible": 0.5,     # validator.py:82  MNC > 999
+}
+# MCC plausibility ladder (validator.py:60-78): base -> European ->
+# expected-country; a mismatch with the expected country lands between.
+MCC_CONFIDENCE = {"base": 0.5, "european": 0.8, "expected": 0.95,
+                  "mismatch": 0.6}
+DECRYPT_CONFIDENCE_FLOOR = 180
+ACCEPT_CONFIDENCE = 0.5         # validator.py:151: conf >= 0.5 and
+ACCEPT_MAX_ISSUES = 2           # at most 2 issues
+
+
+# A rule maps (frame, validator) -> (confidence factor, issue or None).
+Rule = Callable[[dict, "TetraSignalValidator"],
+                Tuple[float, Optional[str]]]
+_PASS: Tuple[float, Optional[str]] = (1.0, None)
+
+
+def _rule_crc(frame, v):
+    if "crc_ok" in frame and not frame["crc_ok"]:
+        return PENALTY["crc_failed"], "CRC failed"
+    return _PASS
+
+
+def _rule_frame_type(frame, v):
+    if frame.get("type_name") is None:
+        return PENALTY["no_frame_type"], "No frame type"
+    return _PASS
+
+
+def _network_id(frame):
+    """MCC/MNC source precedence: call_metadata, else additional_info."""
+    for key in ("call_metadata", "additional_info"):
+        if key in frame:
+            return frame[key].get("mcc"), frame[key].get("mnc")
+    return None, None
+
+
+def _rule_network(frame, v):
+    """Network-ID plausibility — the one stateful rule: a frame with no
+    ID is only suspicious before any valid network has been seen, and a
+    hard-invalid MCC zeroes the confidence outright."""
+    mcc, mnc = _network_id(frame)
+    if mcc is None:
+        if not v.detected_networks:
+            return (PENALTY["no_network_yet"],
+                    "No network ID and no valid network seen yet")
+        return _PASS
+    valid, mcc_conf, reason = v.validate_mcc_mnc(mcc, mnc)
+    if not valid:
+        return 0.0, reason
+    # plausible but weak IDs surface their reason as an issue
+    return mcc_conf, (reason if mcc_conf < 0.7 else None)
+
+
+def _rule_cipher(frame, v):
+    if frame.get("encrypted"):
+        alg = frame.get("encryption_algorithm")
+        if alg not in ("TEA1", "TEA2", "TEA3", "TEA4"):
+            return PENALTY["unknown_cipher"], f"Unknown encryption: {alg}"
+    return _PASS
+
+
+def _rule_decrypt(frame, v):
+    if frame.get("decrypted") and frame.get("decrypt_confidence"):
+        conf = frame.get("decrypt_confidence", 0)
+        if conf < DECRYPT_CONFIDENCE_FLOOR:
+            return (PENALTY["weak_decrypt"],
+                    f"Low decrypt confidence: {conf}")
+    return _PASS
+
+
+# Application order is part of the contract (factors commute but the
+# issue list's order is compared verbatim by the conformance A/B).
+FRAME_RULES: Tuple[Rule, ...] = (
+    _rule_crc,
+    _rule_frame_type,
+    _rule_network,
+    _rule_cipher,
+    _rule_decrypt,
+)
 
 
 class TetraSignalValidator:
@@ -44,73 +143,37 @@ class TetraSignalValidator:
             return (False, 0.0,
                     f"MCC {mcc} out of valid range "
                     f"({self.VALID_MCC_MIN}-{self.VALID_MCC_MAX})")
-        confidence = 0.5
+        # plausibility ladder: later rungs override earlier ones
+        confidence = MCC_CONFIDENCE["base"]
         if mcc in self.EUROPEAN_TETRA_MCCS:
-            confidence = 0.8
+            confidence = MCC_CONFIDENCE["european"]
         if self.expected_mcc and mcc == self.expected_mcc:
-            confidence = 0.95
+            confidence = MCC_CONFIDENCE["expected"]
             reason = f"MCC {mcc} matches expected location"
         elif self.expected_mcc and mcc != self.expected_mcc:
-            confidence = 0.6
+            confidence = MCC_CONFIDENCE["mismatch"]
             reason = f"MCC {mcc} differs from expected {self.expected_mcc}"
         else:
             reason = f"MCC {mcc} is valid"
         if mnc is not None and mnc > 999:
-            confidence *= 0.5
+            confidence *= PENALTY["mnc_implausible"]
             reason += f" but MNC {mnc} seems high"
         self.detected_networks.add((mcc, mnc))
         return (True, confidence, reason)
 
     def validate_frame(self, frame):
-        """-> (is_valid, confidence, issues)  (validator.py:90-161)."""
+        """-> (is_valid, confidence, issues): fold FRAME_RULES over the
+        frame (validator.py:90-161)."""
         self.frame_count += 1
-        issues = []
         confidence = 1.0
-
-        if "crc_ok" in frame:
-            if not frame["crc_ok"]:
-                confidence *= 0.3
-                issues.append("CRC failed")
-
-        if "type_name" not in frame or frame["type_name"] is None:
-            confidence *= 0.5
-            issues.append("No frame type")
-
-        mcc = mnc = None
-        if "call_metadata" in frame:
-            mcc = frame["call_metadata"].get("mcc")
-            mnc = frame["call_metadata"].get("mnc")
-        elif "additional_info" in frame:
-            mcc = frame["additional_info"].get("mcc")
-            mnc = frame["additional_info"].get("mnc")
-
-        if mcc is not None:
-            valid, mcc_conf, reason = self.validate_mcc_mnc(mcc, mnc)
-            if not valid:
-                confidence = 0.0
-                issues.append(reason)
-            else:
-                confidence *= mcc_conf
-                if mcc_conf < 0.7:
-                    issues.append(reason)
-        else:
-            if len(self.detected_networks) == 0:
-                confidence *= 0.4
-                issues.append("No network ID and no valid network seen yet")
-
-        if frame.get("encrypted"):
-            enc_alg = frame.get("encryption_algorithm")
-            if enc_alg not in ["TEA1", "TEA2", "TEA3", "TEA4"]:
-                confidence *= 0.7
-                issues.append(f"Unknown encryption: {enc_alg}")
-
-        if frame.get("decrypted") and frame.get("decrypt_confidence"):
-            conf = frame.get("decrypt_confidence", 0)
-            if conf < 180:
-                confidence *= 0.6
-                issues.append(f"Low decrypt confidence: {conf}")
-
-        is_valid = confidence >= 0.5 and len(issues) <= 2
+        issues = []
+        for rule in FRAME_RULES:
+            factor, issue = rule(frame, self)
+            confidence *= factor
+            if issue is not None:
+                issues.append(issue)
+        is_valid = (confidence >= ACCEPT_CONFIDENCE
+                    and len(issues) <= ACCEPT_MAX_ISSUES)
         if is_valid:
             self.valid_frame_count += 1
         return (is_valid, confidence, issues)

@@ -25,21 +25,29 @@ class FrameFilter:
     timeslot: Optional[int] = None
     encrypted: Optional[bool] = None
     sds_only: bool = False
+    # normalized once here, not per frame: matches() runs on every line
+    # of a potentially huge continuous-capture log
+    _types_lc: frozenset = field(init=False, repr=False, compare=False)
+    _call_type_lc: Optional[str] = field(init=False, repr=False,
+                                         compare=False)
+
+    def __post_init__(self):
+        self._types_lc = frozenset(str(t).lower() for t in self.types)
+        self._call_type_lc = (None if self.call_type is None
+                              else str(self.call_type).lower())
 
     def matches(self, frame: dict) -> bool:
         meta = frame.get("call_metadata") or {}
-        if self.types:
-            name = str(frame.get("type_name", "")).lower()
-            if name not in tuple(str(t).lower() for t in self.types):
+        if self._types_lc:
+            if str(frame.get("type_name", "")).lower() not in self._types_lc:
                 return False
         if self.group is not None and meta.get("talkgroup_id") != self.group:
             return False
         if self.user is not None and self.user not in (
                 meta.get("source_ssi"), meta.get("dest_ssi")):
             return False
-        if self.call_type is not None:
-            if (str(meta.get("call_type", "")).lower()
-                    != str(self.call_type).lower()):
+        if self._call_type_lc is not None:
+            if str(meta.get("call_type", "")).lower() != self._call_type_lc:
                 return False
         if self.timeslot is not None \
                 and frame.get("timeslot") != self.timeslot:

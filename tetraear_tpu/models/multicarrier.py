@@ -224,9 +224,17 @@ class MulticarrierFrontend:
         return run
 
     @functools.lru_cache(maxsize=8)
-    def _compiled_fused(self, offs_key: tuple):
+    def _fused_stages(self, offs_key: tuple):
+        """Build the fused-variant device programs once per offset set.
+
+        Returns (kernel_dev, front, conv_prog, tail_prog): `front(x,
+        kern, start_index)` is the composed single-block front-end;
+        for the split-dispatch variants conv_prog/tail_prog are the
+        underlying stage programs (the batched path re-vmaps them),
+        else None.
+        """
         from tetraear_tpu.ops import fused
-        cfg, k, thr = self.config, self.num_candidates, self.threshold
+        cfg = self.config
         decim = cfg.decimation_factor
         cutoff = ((cfg.channel_bandwidth_hz / 2)
                   / (cfg.intermediate_rate_hz / 2))
@@ -342,16 +350,21 @@ class MulticarrierFrontend:
             def front(x, kern, start_index):
                 yr, yi = conv_prog(x, kern)
                 return tail_prog(yr, yi)
-        else:
-            kernel_dev = jax.device_put(kernel)
+            return kernel_dev, front, conv_prog, tail_prog
 
-            @jax.jit
-            def front(x, kern, start_index):
-                y = fused.fused_channelize(x, kern, gc, rot_np, decim,
-                                           start_index, rotate=False)
-                return _demod_front(y, cfg, z_rot=z_rot)
+        kernel_dev = jax.device_put(kernel)
 
-        cand = _candidates_compiled(k, thr)
+        @jax.jit
+        def front_legacy(x, kern, start_index):
+            y = fused.fused_channelize(x, kern, gc, rot_np, decim,
+                                       start_index, rotate=False)
+            return _demod_front(y, cfg, z_rot=z_rot)
+        return kernel_dev, front_legacy, None, None
+
+    @functools.lru_cache(maxsize=8)
+    def _compiled_fused(self, offs_key: tuple):
+        kernel_dev, front, _, _ = self._fused_stages(offs_key)
+        cand = _candidates_compiled(self.num_candidates, self.threshold)
 
         def run(x, start_index):
             bits, corr, count = front(x, kernel_dev, start_index)
@@ -359,6 +372,55 @@ class MulticarrierFrontend:
             return MulticarrierResult(bits, corr, count, pos, ccorr,
                                       valid, frames, crc_ok)
         return run
+
+    @functools.lru_cache(maxsize=8)
+    def _compiled_fused_batch(self, offs_key: tuple):
+        """Block-batched fused pipeline: x is (B, N) — B independent
+        blocks per DISPATCH through every stage (conv, demod tail,
+        candidates).  The remote backend's per-program dispatch floor
+        (~6.5 ms x 3 programs, ROOFLINE.md gap decomposition) is paid
+        once per B blocks instead of per block; stage outputs equal the
+        per-block pipeline's, stacked (tests/unit/test_fused_frontend).
+        """
+        kernel_dev, front, conv_prog, tail_prog = \
+            self._fused_stages(offs_key)
+        cand = _candidates_compiled(self.num_candidates, self.threshold)
+
+        if conv_prog is not None:
+            # split-dispatch variants: vmap each stage program; the
+            # batched conv lowers to one conv with a real batch dim
+            bconv = jax.jit(jax.vmap(conv_prog, in_axes=(0, None)))
+            btail = jax.jit(jax.vmap(tail_prog))
+
+            def runb(xb, start_index):
+                yr, yi = bconv(xb, kernel_dev)
+                bits, corr, count = btail(yr, yi)
+                pos, ccorr, valid, frames, crc_ok = cand(bits, corr,
+                                                         count)
+                return MulticarrierResult(bits, corr, count, pos, ccorr,
+                                          valid, frames, crc_ok)
+            return runb
+
+        bfront = jax.jit(jax.vmap(front, in_axes=(0, None, None)))
+
+        def runb(xb, start_index):
+            bits, corr, count = bfront(xb, kernel_dev, start_index)
+            pos, ccorr, valid, frames, crc_ok = cand(bits, corr, count)
+            return MulticarrierResult(bits, corr, count, pos, ccorr,
+                                      valid, frames, crc_ok)
+        return runb
+
+    def batched(self, xb, offsets_hz, start_index: int = 0
+                ) -> MulticarrierResult:
+        """Process (B, N) independent blocks per dispatch (fused variants
+        only); result fields carry a leading B axis."""
+        if not self.fused:
+            raise ValueError("batched() requires a fused variant")
+        from tetraear_tpu.utils.backend import ensure_complex_on_device
+        xb = ensure_complex_on_device(xb)
+        offs_key = tuple(float(v) for v in np.asarray(offsets_hz))
+        fn = self._compiled_fused_batch(offs_key)
+        return fn(xb, jnp.int32(start_index))
 
     def __call__(self, x, offsets_hz, start_index: int = 0
                  ) -> MulticarrierResult:

@@ -952,14 +952,18 @@ def cmd_frames(args) -> int:
     if args.stats:
         if args.out:
             # honor both: write the matching frames AND print the panel
-            # (silently dropping -o confused scripted callers)
+            # (silently dropping -o confused scripted callers) — one
+            # streaming pass, no in-memory materialization (continuous-
+            # capture logs can be large)
             import json as _json
-            rows = list(matched)
+            from tetraear_tpu.io.frames_query import FrameStats
+            st = FrameStats()
             with open(args.out, "w", encoding="utf-8") as fp:
-                for frame in rows:
+                for frame in matched:
                     fp.write(_json.dumps(frame) + "\n")
-            matched = rows
-        st = frames_stats(matched)
+                    st.add(frame)
+        else:
+            st = frames_stats(matched)
         print(f"frames={st.total} crc_pass={st.crc_pass} "
               f"encrypted={st.encrypted} decrypted={st.decrypted} "
               f"sds={st.sds}")

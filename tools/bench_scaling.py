@@ -37,6 +37,15 @@ def main() -> int:
                     help="ref = ref-compat sharded step; etsi = the "
                          "rational-resampler soft-demod pod step "
                          "(build_sharded_step_etsi)")
+    ap.add_argument("--overhead", action="store_true",
+                    help="also time the SAME total workload on a 1-device "
+                         "mesh and report sharding overhead efficiency "
+                         "T_unsharded/T_sharded.  On shared-core virtual "
+                         "devices this is the honest scaling measurement: "
+                         "naive weak-scaling wall-clock is bounded by "
+                         "cores/devices regardless of the program, while "
+                         "this ratio isolates what sharding itself costs "
+                         "(halos, collectives, padding).")
     args = ap.parse_args()
 
     import os
@@ -90,20 +99,36 @@ def main() -> int:
         def step():
             return run(xs, offs)
 
-        out = step()
-        _ = float(jnp.sum(jnp.abs(getattr(out, digest_field))))  # warmup
-        t0 = time.perf_counter()
-        for _i in range(args.iters):
-            out = step()
-        _ = float(jnp.sum(jnp.abs(getattr(out, digest_field))))  # sync
-        dt = (time.perf_counter() - t0) / args.iters
+        def timed(step_fn):
+            out = step_fn()
+            _ = float(jnp.sum(jnp.abs(getattr(out, digest_field))))  # warmup
+            t0 = time.perf_counter()
+            for _i in range(args.iters):
+                out = step_fn()
+            _ = float(jnp.sum(jnp.abs(getattr(out, digest_field))))  # sync
+            return (time.perf_counter() - t0) / args.iters
+
+        dt = timed(step)
         sps = total * carrier_axis / dt            # carrier-stream samples/s
         results[n] = sps
         base = results[sizes[0]] * n / sizes[0]
         eff = sps / base if base else 0.0
-        print(json.dumps({"devices": n, "mesh": [carrier_axis, time_axis],
-                          "samples_per_sec": round(sps, 1),
-                          "weak_scaling_efficiency": round(eff, 3)}))
+        rec = {"devices": n, "mesh": [carrier_axis, time_axis],
+               "samples_per_sec": round(sps, 1),
+               "weak_scaling_efficiency": round(eff, 3)}
+        if args.overhead and n > 1:
+            # same total workload (same x, same offsets, same program
+            # family) on a single device: the ratio strips the shared-core
+            # oversubscription that dominates virtual-device wall clock
+            mesh1 = make_mesh(carrier=1, time=1, devices=devices[:1])
+            if args.profile == "etsi":
+                run1, _h = build_sharded_step_etsi(mesh1, cfg, halo=4 * 400)
+            else:
+                run1 = build_sharded_step(mesh1, cfg, halo=132 * 130)
+            xs1, offs1 = shard_inputs(mesh1, x, offsets)
+            dt1 = timed(lambda: run1(xs1, offs1))
+            rec["sharding_overhead_efficiency"] = round(dt1 / dt, 3)
+        print(json.dumps(rec))
     return 0
 
 

@@ -31,15 +31,19 @@ if ! timeout 400 python tools/tpu_health.py >/tmp/measure_health.txt 2>&1 \
 fi
 echo "=== healthy at $(date +%H:%M:%S) ==="
 # bench FIRST: it is the headline number and short windows can close
-# before a long probe list finishes
+# before a long probe list finishes.  bench.py's own f32 pregate is
+# cheap (~15 s) so it is NOT skipped — a verdict can go stale between
+# steps in this list (ADVICE r3), and bench cycles/fails fast anyway.
+# BENCH_WINDOW_S is shortened: health was verified seconds ago, so a
+# wedge mid-run means the window closed — hand the slot to the probes.
 echo "=== full bench ==="
-BENCH_SKIP_PROBE=1 timeout 3600 python bench.py 2>/tmp/measure_bench.err
+BENCH_WINDOW_S=900 timeout 1800 python bench.py 2>/tmp/measure_bench.err
 grep "tier" /tmp/measure_bench.err
 for p in "$@"; do
   case "$p" in
     bench:*)
       echo "=== bench tiers ${p#bench:} ==="
-      BENCH_TIERS="${p#bench:}" BENCH_SKIP_PROBE=1 timeout 2400 \
+      BENCH_TIERS="${p#bench:}" BENCH_WINDOW_S=900 timeout 1800 \
         python bench.py 2>/tmp/measure_bench_ab.err
       grep "tier" /tmp/measure_bench_ab.err
       ;;
