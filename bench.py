@@ -296,6 +296,20 @@ def _run_tier(tier: str, num_carriers: int, scale: int, iters: int):
         xs = [put_complex(x) for x in xs_np]
         return _verified_rate(pfb, digest, xs, n, iters), \
             "pfb_demod_decode", 96
+    mpb = re.fullmatch(r"pfb_b(\d+)", tier)
+    if mpb:
+        # block-batched PFB: B sub-blocks per dispatch (stages at 96
+        # channels were measured NOT to overlap, so the per-program
+        # dispatch floor is paid 2-3x per block — batching amortizes it)
+        B = int(mpb.group(1))
+        pfb = PfbMulticarrierFrontend(
+            cfg, num_candidates=64, threshold=0.80,
+            fused=(_pfb_variant() if jax.default_backend() != "cpu"
+                   else False))
+        nb = n // B
+        xs = [put_complex(x[:B * nb].reshape(B, nb)) for x in xs_np]
+        rate = _verified_rate(pfb.batched, digest, xs, B * nb, iters)
+        return rate, f"{tier}_demod_decode", 96
     if tier in ("realpair64", "realpair0"):
         # transcendental/complex-free formulation (models/realpair.py);
         # k=64 appends the on-device candidates+CRC stage (full decode),

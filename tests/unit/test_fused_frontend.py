@@ -548,3 +548,32 @@ class TestBlockBatched:
         with pytest.raises(ValueError):
             mc.batched(np.zeros((2, 1000), np.complex64),
                        np.array([0.0], np.float32))
+
+    @pytest.mark.parametrize("variant", ["s2d", "s2d_mono", False])
+    def test_pfb_batched_equals_per_block(self, variant):
+        from tetraear_tpu.models.multicarrier import PfbMulticarrierFrontend
+        rng = np.random.default_rng(5)
+        nb, B = 12_480, 2
+        xb = ((rng.standard_normal((B, nb))
+               + 1j * rng.standard_normal((B, nb))) * 0.2
+              ).astype(np.complex64)
+        pfb = PfbMulticarrierFrontend(num_candidates=8, threshold=0.80,
+                                      fused=variant)
+        rb = pfb.batched(xb)
+        for b in range(B):
+            r1 = pfb(xb[b])
+            np.testing.assert_array_equal(np.asarray(rb.bits[b]),
+                                          np.asarray(r1.bits))
+            np.testing.assert_allclose(np.asarray(rb.sync_corr[b]),
+                                       np.asarray(r1.sync_corr),
+                                       rtol=0, atol=1e-5)
+            np.testing.assert_array_equal(np.asarray(rb.cand_pos[b]),
+                                          np.asarray(r1.cand_pos))
+            np.testing.assert_array_equal(np.asarray(rb.crc_ok[b]),
+                                          np.asarray(r1.crc_ok))
+
+    def test_pfb_batched_rejects_pallas(self):
+        from tetraear_tpu.models.multicarrier import PfbMulticarrierFrontend
+        pfb = PfbMulticarrierFrontend(fused="pallas")
+        with pytest.raises(ValueError):
+            pfb.batched(np.zeros((2, 9600), np.complex64))

@@ -479,15 +479,27 @@ class PfbMulticarrierFrontend:
                                       self.config.sample_rate_hz)
 
     @functools.lru_cache(maxsize=4)
-    def _compiled(self, n: int):
+    def _compiled(self, n: int, batch: int = 0):
+        """batch=0: x is (N,).  batch=B>0: x is (B, N) — B independent
+        blocks per dispatch through every stage (same dispatch-floor
+        amortization as MulticarrierFrontend._compiled_fused_batch; the
+        candidates stage is leading-dim agnostic so only the front is
+        vmapped).  Not supported for the pallas variants (pallas_call
+        vmap adds a grid dim the kernel was not written for)."""
         cfg = self.config
         k, thr = self.num_candidates, self.threshold
         num_channels, decim, tpb = (self.num_channels, self.decim,
                                     self.taps_per_branch)
+        if batch and isinstance(self.fused, str) \
+                and self.fused.startswith("pallas"):
+            raise ValueError("batched PFB unsupported for pallas variants")
 
         cand = _candidates_compiled(k, thr)
 
-        def _assemble(front_fn):
+        def _assemble(front_fn, already_batched: bool = False):
+            if batch and not already_batched:
+                front_fn = jax.jit(jax.vmap(front_fn))
+
             def run(x):
                 bits, corr, count = front_fn(x)
                 pos, ccorr, valid, frames, crc_ok = cand(bits, corr,
@@ -568,6 +580,14 @@ class PfbMulticarrierFrontend:
                             x, kern, gc, L, decim)
                         res = _demod_from_pair(yr, yi, sps, z_rot=z_rot)
                         return res.bits, res.sync_corr, res.count
+                    if batch:
+                        # kernel stays an ARGUMENT of the batched jit (a
+                        # closure capture would constant-fold the device
+                        # array through a D2H — CLAUDE.md)
+                        bmono = jax.jit(jax.vmap(front_mono,
+                                                 in_axes=(0, None)))
+                        return _assemble(lambda x: bmono(x, kernel_dev),
+                                         already_batched=True)
                     return _assemble(
                         lambda x: front_mono(x, kernel_dev))
 
@@ -580,6 +600,19 @@ class PfbMulticarrierFrontend:
                 def tail_prog(yr, yi):
                     res = _demod_from_pair(yr, yi, sps, z_rot=z_rot)
                     return res.bits, res.sync_corr, res.count
+
+                if batch:
+                    # per-stage vmap preserves the split-dispatch
+                    # structure (a wholesale vmap+jit would fuse conv and
+                    # tail into one program and change what is measured)
+                    bconv = jax.jit(jax.vmap(conv_prog,
+                                             in_axes=(0, None)))
+                    btail = jax.jit(jax.vmap(tail_prog))
+
+                    def front_s2d_b(x):
+                        yr, yi = bconv(x, kernel_dev)
+                        return btail(yr, yi)
+                    return _assemble(front_s2d_b, already_batched=True)
 
                 def front_s2d(x):
                     yr, yi = conv_prog(x, kernel_dev)
@@ -603,6 +636,10 @@ class PfbMulticarrierFrontend:
                                        cfg.ref_samples_per_symbol,
                                        z_rot=z_rot)
                 return res.bits, res.sync_corr, res.count
+            if batch:
+                bfused = jax.jit(jax.vmap(front_fused, in_axes=(0, None)))
+                return _assemble(lambda x: bfused(x, kernel_dev),
+                                 already_batched=True)
             return _assemble(lambda x: front_fused(x, kernel_dev))
 
         @jax.jit
@@ -617,6 +654,13 @@ class PfbMulticarrierFrontend:
         from tetraear_tpu.utils.backend import ensure_complex_on_device
         x = ensure_complex_on_device(x)
         return self._compiled(x.shape[-1])(x)
+
+    def batched(self, xb) -> MulticarrierResult:
+        """Process (B, N) independent blocks per dispatch; result fields
+        carry a leading B axis."""
+        from tetraear_tpu.utils.backend import ensure_complex_on_device
+        xb = ensure_complex_on_device(xb)
+        return self._compiled(int(xb.shape[-1]), int(xb.shape[0]))(xb)
 
     def __hash__(self):
         return hash((self.config, self.num_candidates, self.threshold,

@@ -26,6 +26,8 @@ ITEMS=(
   "cand96|700|python tools/tpu_conv_probe.py --probe cand96 --scale 8"
   "tail96|700|python tools/tpu_conv_probe.py --probe tail96 --scale 8"
   "bench_pfb|900|python bench.py --tier pfb"
+  "bench_pfb_b4|900|python bench.py --tier pfb_b4"
+  "bench_pfb_mono|900|BENCH_PFB_VARIANT=s2d_mono python bench.py --tier pfb"
 )
 
 pregate() {
