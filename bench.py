@@ -74,7 +74,8 @@ TIERS = ("fused_s2d_of", "fused_s2d", "fused", "complex", "pfb",
 _PFB_VARIANTS = ("s2d", "s2d_mono", "pallas", "pallas_db", "pallas_bf16")
 
 
-def pick_tier(results: list, attempts: dict, custom: tuple | None):
+def pick_tier(results: list, attempts: dict, custom: tuple | None,
+              dead: frozenset = frozenset()):
     """Choose the next tier to attempt, or None when the goals are met.
 
     Custom list (BENCH_TIERS): a head-to-head request — every listed tier
@@ -86,27 +87,32 @@ def pick_tier(results: list, attempts: dict, custom: tuple | None):
     PFB for its own number.  After every full-decode tier has failed
     twice, fall back to realpair0 (demod+sync only) so a degraded-class
     window still yields an accelerator number.
+
+    `dead`: tiers that failed PERMANENTLY (e.g. unknown name, programming
+    error — not a backend hang); never picked again, so a typo'd
+    BENCH_TIERS entry cannot eat the whole window in retries.
     """
-    done = {r["tier"] for r in results}
+    done = {r["tier"] for r in results} | set(dead)
     if custom is not None:
         for t in custom:
             if t not in done:
                 return t
         return None
-    full_done = [t for t in FULL_DECODE_16C if t in done]
+    full_done = [t for t in FULL_DECODE_16C
+                 if t in done and t not in dead]
     if not full_done:
         # fewest-attempts-first among the full-decode tiers (priority
         # order breaks ties) so one pathological tier can't eat the window
-        cands = sorted(FULL_DECODE_16C,
+        cands = sorted((t for t in FULL_DECODE_16C if t not in dead),
                        key=lambda t: (attempts.get(t, 0),
                                       FULL_DECODE_16C.index(t)))
-        if attempts.get(cands[0], 0) < 2:
+        if cands and attempts.get(cands[0], 0) < 2:
             return cands[0]
         # every full-decode tier failed twice: degraded-class window —
         # try the no-top_k/no-gather tier for a reduced-scope number
         if "realpair0" not in done and attempts.get("realpair0", 0) < 2:
             return "realpair0"
-        return cands[0]           # keep cycling the best tier regardless
+        return cands[0] if cands else None  # keep cycling the best tier
     if "pfb" not in done and attempts.get("pfb", 0) < 3:
         return "pfb"
     # goals met (or pfb given up): upgrade pass — retry a faster tier
@@ -114,7 +120,7 @@ def pick_tier(results: list, attempts: dict, custom: tuple | None):
     for t in FULL_DECODE_16C:
         if t in done:
             break
-        if attempts.get(t, 0) < 2:
+        if t not in dead and attempts.get(t, 0) < 2:
             return t
     return None
 
@@ -564,8 +570,9 @@ def main() -> int:
               if tiers_env else None)
     results: list = []
     attempts: dict = {}
+    dead: set = set()
     while time.monotonic() < deadline - 60.0:
-        t = pick_tier(results, attempts, custom)
+        t = pick_tier(results, attempts, custom, frozenset(dead))
         if t is None:
             break                    # goals met / custom list exhausted
         if not os.environ.get("BENCH_SKIP_PROBE") == "1" \
@@ -607,9 +614,13 @@ def main() -> int:
                   file=sys.stderr)
             break
         else:
-            print(f"[bench] tier {t} failed "
-                  f"({res.get('err', 'backend=cpu')[:90]})",
-                  file=sys.stderr)
+            err = res.get("err", "backend=cpu")
+            if err.split(":")[0] in ("ValueError", "TypeError", "KeyError",
+                                     "AttributeError", "NameError",
+                                     "SystemExit"):
+                dead.add(t)       # programming/config error, not a hang:
+                # retrying cannot succeed — drop it from the rotation
+            print(f"[bench] tier {t} failed ({err[:90]})", file=sys.stderr)
 
     if rep.best is not None:
         rep.emit(0)                   # emit() reaps the floor child
