@@ -151,3 +151,99 @@ class TestAudioSink:
         assert len(pipes) == 1               # one process, two writes
         assert len(pipes[0].stdin.getvalue()) == 2 * 80 * 2
         sink.close()
+
+
+class TestMouse:
+    """Reference mouse affordances carried to the terminal
+    (modern.py:727-903): click-to-tune, Ctrl-click peak snap, wheel
+    zoom with viewport clamping."""
+
+    def _ui_with_spectrum(self, nbins=400, f0=390.0, f1=392.0):
+        from tetraear_tpu.ui.tui import TerminalUI
+        loop = CaptureLoop(source=None)
+        ui = TerminalUI(loop)
+        freqs = np.linspace(f0, f1, nbins)
+        power = np.full(nbins, -90.0)
+        power[240] = -40.0                     # a peak at ~391.2 MHz
+        ui.state.waterfall.update_spectrum(freqs, power)
+        ui.state.frequency_hz = 391.0e6
+        return ui
+
+    def test_parse_sgr_mouse(self):
+        from tetraear_tpu.ui.tui import parse_sgr_mouse
+        assert parse_sgr_mouse("\x1b[<0;34;5M") == (0, 34, 5, True)
+        assert parse_sgr_mouse("\x1b[<16;10;4m") == (16, 10, 4, False)
+        assert parse_sgr_mouse("\x1b[<64;1;3M") == (64, 1, 3, True)
+        assert parse_sgr_mouse("\x1b[A") is None
+        assert parse_sgr_mouse("q") is None
+
+    def test_click_tunes_to_column_frequency(self):
+        from tetraear_tpu.ui.tui import SPECTRUM_COL_FIRST
+        ui = self._ui_with_spectrum()
+        width = 104                             # content = 100 cols
+        ui.handle_mouse(0, SPECTRUM_COL_FIRST + 50, 5, True, width=width)
+        # middle of a 390-392 MHz span ~ 391 MHz
+        assert abs(ui.state.frequency_hz / 1e6 - 391.0) < 0.02
+        # retune is queued on the loop (applied at the next chunk)
+        assert abs(ui.loop.pending_freq - ui.state.frequency_hz) < 1.0
+
+    def test_ctrl_click_snaps_to_peak(self):
+        from tetraear_tpu.ui.tui import SPECTRUM_COL_FIRST
+        ui = self._ui_with_spectrum()
+        width = 104
+        # click near (but not on) the -40 dB peak at 391.2 MHz, Ctrl held
+        col = SPECTRUM_COL_FIRST + 59          # ~391.19 MHz
+        ui.handle_mouse(0 | 16, col, 5, True, width=width)
+        assert abs(ui.state.frequency_hz / 1e6 - 391.2029) < 0.01
+
+    def test_click_outside_spectrum_ignored(self):
+        ui = self._ui_with_spectrum()
+        before = ui.state.frequency_hz
+        ui.handle_mouse(0, 50, 20, True, width=104)    # below the panel
+        ui.handle_mouse(0, 1, 5, True, width=104)      # in the border
+        assert ui.state.frequency_hz == before
+
+    def test_wheel_zoom_and_viewport(self):
+        from tetraear_tpu.ui.tui import SPECTRUM_COL_FIRST, view_slice
+        ui = self._ui_with_spectrum()
+        st = ui.state
+        assert view_slice(st, 400) == slice(0, 400)
+        ui.handle_mouse(64, SPECTRUM_COL_FIRST + 10, 5, True, width=104)
+        assert st.zoom == 2.0 and st.view_center_mhz is not None
+        sl = view_slice(st, 400)
+        assert (sl.stop - sl.start) == 200 and sl.start >= 0
+        # zoom clamps at 10x and at the span edges
+        for _ in range(6):
+            ui.handle_mouse(64, SPECTRUM_COL_FIRST, 5, True, width=104)
+        assert st.zoom == 10.0
+        sl = view_slice(st, 400)
+        assert sl.start >= 0 and sl.stop <= 400
+        # wheel down + reset
+        ui.handle_mouse(65, SPECTRUM_COL_FIRST, 5, True, width=104)
+        assert st.zoom == 5.0
+        assert ui.handle_key("0") and st.zoom == 1.0
+
+    def test_zoom_keys(self):
+        ui = self._ui_with_spectrum()
+        assert ui.handle_key("+") and ui.state.zoom == 2.0
+        assert ui.handle_key("-") and ui.state.zoom == 1.0
+
+    def test_zoomed_view_renders(self):
+        ui = self._ui_with_spectrum()
+        ui.handle_key("+")
+        txt = _render_text(ui.state)
+        assert "zoom 2x" in txt
+
+
+class TestFindPeakNear:
+    def test_parabolic_interpolation(self):
+        from tetraear_tpu.ui.waterfall import find_peak_near
+        freqs = np.linspace(390.0, 392.0, 401)       # 5 kHz bins
+        power = np.full(401, -90.0)
+        power[200 - 1:200 + 2] = (-50.0, -45.0, -50.0)   # symmetric peak
+        got = find_peak_near(freqs, power, 391.0, window_mhz=0.05)
+        assert abs(got - 391.0) < 1e-6               # delta = 0
+        power[201] = -46.0                           # skew right
+        got = find_peak_near(freqs, power, 391.0, window_mhz=0.05)
+        assert 391.0 < got < 391.005
+        assert find_peak_near(freqs, power, 380.0, window_mhz=0.01) is None

@@ -28,10 +28,21 @@ import numpy as np
 
 from tetraear_tpu.ui.session import SessionAggregator
 from tetraear_tpu.ui.waterfall import (TetraStatusMachine, WaterfallBuffer,
-                                       colorize, follow_frequency_step)
+                                       colorize, find_peak_near,
+                                       follow_frequency_step)
 
 KEY_HELP = ("[b]a[/]uto-decrypt  [b]d[/]enoiser  [b]f[/]ollow-freq  "
-            "[b]v[/]oice  [b]r[/]aw-monitor  [b]q[/]uit")
+            "[b]v[/]oice  [b]r[/]aw-monitor  [b]+/-[/] zoom  [b]q[/]uit  "
+            "click=tune ctrl-click=peak wheel=zoom")
+
+# Spectrum-panel geometry shared by build_view and the mouse mapper
+# (1-based terminal coordinates, as SGR mouse reports use).  Header is
+# one row; the spectrum Panel is `size=11`: border, sparkline, 8
+# waterfall lines, border.  Horizontal: border + padding -> content
+# starts at column 3 and is `width - 4` cells wide.
+SPECTRUM_ROW_FIRST = 3          # first content row (sparkline)
+SPECTRUM_ROW_LAST = 11          # last waterfall line
+SPECTRUM_COL_FIRST = 3
 
 
 @dataclass
@@ -55,6 +66,10 @@ class TuiState:
     waterfall: WaterfallBuffer = field(default_factory=WaterfallBuffer)
     session: SessionAggregator = field(default_factory=SessionAggregator)
     machine: TetraStatusMachine = field(default_factory=TetraStatusMachine)
+    # spectrum viewport (reference zoom 1-10x + clamping,
+    # modern.py:876-903); view_center_mhz=None follows the tuned freq
+    zoom: float = 1.0
+    view_center_mhz: Optional[float] = None
 
     def on_frame_row(self, row: dict, max_rows: int = 64) -> None:
         self.rows.append(row)
@@ -71,6 +86,51 @@ class TuiState:
 # pure rendering
 # ---------------------------------------------------------------------------
 
+def view_slice(state: TuiState, nbins: int) -> slice:
+    """Bin range of the current zoom viewport, clamped inside the span
+    (the reference's viewport clamping, modern.py:876-903)."""
+    freqs = state.waterfall.current_freqs
+    if state.zoom <= 1.0 or freqs is None or len(freqs) != nbins \
+            or nbins < 4:
+        return slice(0, nbins)
+    span = nbins / state.zoom
+    center_mhz = (state.view_center_mhz
+                  if state.view_center_mhz is not None
+                  else state.frequency_hz / 1e6)
+    c = float(np.interp(center_mhz, freqs, np.arange(nbins)))
+    lo = int(round(c - span / 2))
+    lo = max(0, min(lo, nbins - int(span)))
+    return slice(lo, lo + max(4, int(span)))
+
+
+def freq_at_column(state: TuiState, col: int, width: int) -> Optional[float]:
+    """Terminal column (1-based) -> frequency in MHz within the current
+    viewport, or None outside the spectrum content area."""
+    freqs = state.waterfall.current_freqs
+    content_w = width - 4
+    if freqs is None or len(freqs) == 0 or content_w <= 0:
+        return None
+    x = col - SPECTRUM_COL_FIRST
+    if not 0 <= x < content_w:
+        return None
+    sl = view_slice(state, len(freqs))
+    view = np.asarray(freqs, float)[sl]
+    frac = (x + 0.5) / content_w
+    return float(view[0] + frac * (view[-1] - view[0]))
+
+
+def parse_sgr_mouse(seq: str):
+    """Parse one xterm SGR mouse report "\\x1b[<b;x;yM" (press, 'm' =
+    release) -> (button, col, row, pressed) or None."""
+    if not (seq.startswith("\x1b[<") and seq[-1] in "Mm"):
+        return None
+    try:
+        b, x, y = (int(v) for v in seq[3:-1].split(";"))
+    except ValueError:
+        return None
+    return b, x, y, seq.endswith("M")
+
+
 def _spectrum_sparkline(power_db: np.ndarray, width: int) -> str:
     """Downsample the latest spectrum row to a unicode column chart."""
     bars = " ▁▂▃▄▅▆▇█"
@@ -83,13 +143,16 @@ def _spectrum_sparkline(power_db: np.ndarray, width: int) -> str:
     return "".join(bars[i] for i in idx)
 
 
-def _waterfall_lines(buffer: WaterfallBuffer, width: int, rows: int):
+def _waterfall_lines(buffer: WaterfallBuffer, width: int, rows: int,
+                     crop: slice | None = None):
     """Render the newest 2*rows history lines as rich half-block markup,
     two spectral rows per text line (fg=upper px, bg=lower px)."""
     from rich.text import Text
     arr = buffer.as_array()
     if arr.size == 0 or width <= 0 or rows <= 0:
         return [Text("")]
+    if crop is not None and (crop.stop or 0) <= arr.shape[1]:
+        arr = arr[:, crop]
     arr = arr[-2 * rows:]
     if arr.shape[0] % 2:
         arr = np.concatenate([arr[:1], arr])
@@ -134,10 +197,17 @@ def build_view(state: TuiState, width: int = 100):
          "red" if state.status.startswith("ERROR") else "dim"),
     )
 
-    spark = _spectrum_sparkline(state.waterfall.current_power, width - 4)
-    wf_lines = _waterfall_lines(state.waterfall, width - 4, rows=8)
+    power = state.waterfall.current_power
+    sl = view_slice(state, 0 if power is None else len(power))
+    spark = _spectrum_sparkline(None if power is None else power[sl],
+                                width - 4)
+    wf_lines = _waterfall_lines(state.waterfall, width - 4, rows=8,
+                                crop=sl)
+    title = "spectrum / waterfall"
+    if state.zoom > 1.0:
+        title += f" (zoom {state.zoom:.0f}x)"
     spectrum_panel = Panel(Group(Text(spark, style="green"), *wf_lines),
-                           title="spectrum / waterfall", padding=(0, 1))
+                           title=title, padding=(0, 1))
 
     frames_t = Table(title="frames", expand=True, pad_edge=False)
     for col in ("#", "type", "crc", "enc", "text", "country"):
@@ -262,15 +332,81 @@ class TerminalUI:
         elif key == "r":
             st.monitor_raw = not st.monitor_raw
             loop.monitor_raw = st.monitor_raw
+        elif key in "+=":
+            self._zoom_step(2.0)
+        elif key == "-":
+            self._zoom_step(0.5)
+        elif key == "0":
+            st.zoom, st.view_center_mhz = 1.0, None
         return True
+
+    def _zoom_step(self, factor: float,
+                   center_mhz: Optional[float] = None) -> None:
+        st = self.state
+        st.zoom = float(np.clip(st.zoom * factor, 1.0, 10.0))
+        if st.zoom <= 1.0:
+            st.view_center_mhz = None
+        elif center_mhz is not None:
+            st.view_center_mhz = center_mhz
+
+    def handle_mouse(self, button: int, col: int, row: int,
+                     pressed: bool, width: int = 100) -> None:
+        """Reference mouse affordances on the terminal spectrum
+        (modern.py:727-903): click = tune, Ctrl-click = snap to the
+        interpolated peak near the click, wheel = zoom about the cursor.
+        SGR buttons: 0 left, 64/65 wheel up/down; +16 = Ctrl held."""
+        st, loop = self.state, self.loop
+        if not (SPECTRUM_ROW_FIRST <= row <= SPECTRUM_ROW_LAST):
+            return
+        freq = freq_at_column(st, col, width)
+        if freq is None:
+            return
+        base = button & ~0x1C            # strip Ctrl/Alt/Shift modifiers
+        if base in (64, 65):             # wheel: zoom about the cursor
+            self._zoom_step(2.0 if base == 64 else 0.5, center_mhz=freq)
+            return
+        if pressed and (button & 3) == 0:       # left press
+            if button & 16:              # Ctrl-click: peak snap
+                fr = st.waterfall.current_freqs
+                pw = st.waterfall.current_power
+                if fr is not None and pw is not None:
+                    peak = find_peak_near(fr, pw, freq)
+                    if peak is not None:
+                        freq = peak
+            loop.set_frequency(freq * 1e6)
+            st.frequency_hz = freq * 1e6
 
     def _key_thread(self, stop_event) -> None:
         import select
         import sys
+
+        def pending(timeout: float) -> bool:
+            r, _, _ = select.select([sys.stdin], [], [], timeout)
+            return bool(r)
+
         while not stop_event.is_set():
-            r, _, _ = select.select([sys.stdin], [], [], 0.2)
-            if r and not self.handle_key(sys.stdin.read(1)):
-                stop_event.set()
+            if not pending(0.2):
+                continue
+            ch = sys.stdin.read(1)
+            if ch != "\x1b":
+                if not self.handle_key(ch):
+                    stop_event.set()
+                continue
+            # escape sequence: accumulate until the mouse terminator (or
+            # a short quiet gap — plain ESC / arrow keys are dropped)
+            seq = ch
+            while len(seq) < 24 and pending(0.02):
+                seq += sys.stdin.read(1)
+                if seq[-1] in "Mm" and seq.startswith("\x1b[<"):
+                    break
+            ev = parse_sgr_mouse(seq)
+            if ev is not None:
+                try:
+                    import shutil
+                    width = shutil.get_terminal_size().columns
+                except OSError:          # pragma: no cover
+                    width = 100
+                self.handle_mouse(*ev, width=width)
 
     # -- main loop ----------------------------------------------------------
     def run(self, max_chunks: Optional[int] = None,
@@ -287,12 +423,18 @@ class TerminalUI:
         # leave the user's shell without echo when the replay drains or
         # --duration expires (only a 'q' keypress would restore it)
         old_termios = None
+        mouse_on = False
         if sys.stdin.isatty():
             import termios
             import tty
             fd = sys.stdin.fileno()
             old_termios = termios.tcgetattr(fd)
             tty.setcbreak(fd)
+            # xterm SGR mouse reporting: click-to-tune / Ctrl-click peak
+            # snap / wheel zoom on the spectrum panel
+            sys.stdout.write("\x1b[?1000h\x1b[?1006h")
+            sys.stdout.flush()
+            mouse_on = True
             threading.Thread(target=self._key_thread, args=(stop,),
                              daemon=True).start()
         worker = threading.Thread(
@@ -314,6 +456,9 @@ class TerminalUI:
                         break
         finally:
             stop.set()
+            if mouse_on:
+                sys.stdout.write("\x1b[?1006l\x1b[?1000l")
+                sys.stdout.flush()
             if old_termios is not None:
                 import termios
                 termios.tcsetattr(sys.stdin.fileno(), termios.TCSADRAIN,

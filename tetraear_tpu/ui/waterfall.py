@@ -238,6 +238,32 @@ class AutoSpectrumCalibration:
         return out
 
 
+def find_peak_near(freqs_mhz: np.ndarray, powers_db: np.ndarray,
+                   center_mhz: float,
+                   window_mhz: float = 0.050) -> Optional[float]:
+    """Strongest bin within ±window of center, refined with parabolic
+    sub-bin interpolation (the reference's Ctrl-click peak snap,
+    modern.py:756-772).  Returns the peak frequency in MHz, or None when
+    the window is empty."""
+    freqs = np.asarray(freqs_mhz, float)
+    powers = np.asarray(powers_db, float)
+    mask = np.abs(freqs - center_mhz) < window_mhz
+    if not np.any(mask):
+        return None
+    idxs = np.where(mask)[0]
+    p = int(idxs[np.argmax(powers[idxs])])
+    if 0 < p < len(freqs) - 1:
+        y0, y1, y2 = powers[p - 1], powers[p], powers[p + 1]
+        denom = y0 - 2.0 * y1 + y2
+        if abs(denom) > 1e-12:
+            delta = 0.5 * (y0 - y2) / denom
+            delta = float(np.clip(delta, -0.5, 0.5))
+            step = freqs[min(p + 1, len(freqs) - 1)] - freqs[p] \
+                if p + 1 < len(freqs) else freqs[p] - freqs[p - 1]
+            return float(freqs[p] + delta * step)
+    return float(freqs[p])
+
+
 def follow_frequency_step(freqs_mhz: np.ndarray, powers_db: np.ndarray,
                           tuned_mhz: float,
                           window_mhz: float = 0.010) -> Optional[float]:
