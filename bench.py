@@ -68,8 +68,10 @@ WINDOW_S = float(os.environ.get("BENCH_WINDOW_S", 1800.0))
 # for windows where candidate-class ops hang — an accelerator number of
 # reduced scope still beats the CPU floor.
 FULL_DECODE_16C = ("fused_s2d_of", "fused_s2d", "realpair64")
-TIERS = ("fused_s2d_of", "fused_s2d", "fused", "complex", "pfb",
-         "realpair64", "realpair0", "single")
+# Every name _run_tier accepts (BENCH_TIERS values; the default chain
+# only cycles FULL_DECODE_16C + pfb + realpair0): fused, complex,
+# fused_s2d, fused_s2d_of, fused_s2d[_of]_b<N>, fused_pallas[...],
+# pfb, pfb_b<N>, realpair64, realpair0, single.
 
 _PFB_VARIANTS = ("s2d", "s2d_mono", "pallas", "pallas_db", "pallas_bf16")
 

@@ -34,6 +34,9 @@ ITEMS=(
   "s2d16_sc4|700|python tools/tpu_conv_probe.py --probe s2d16 --scale 4"
   "s2d16_sc2|700|python tools/tpu_conv_probe.py --probe s2d16 --scale 2"
   "s2d16_sc8|700|python tools/tpu_conv_probe.py --probe s2d16 --scale 8"
+  # real HBM bandwidth (the 38.5 GB/s 'apparent' number may be the
+  # dispatch floor in disguise — ROOFLINE.md revision hinges on this)
+  "hbm1g|700|python tools/tpu_conv_probe.py --probe hbm1g --iters 6"
 )
 
 pregate() {

@@ -39,15 +39,17 @@ PROBES = ("fused16", "pallas16", "pallas16_db", "pallas16_bf16",
           "s2d16_n4", "s2d16_n8", "pfb96", "pfb96_s2d",
           "pfb96_s2d_bf16", "tail16", "tail96", "cand16", "cand96",
           "front16_s2d", "front96_s2d", "split16_s2d", "split16_of4",
-          "split96_s2d", "crc96", "topk96", "wingather96")
+          "split96_s2d", "crc96", "topk96", "wingather96",
+          "hbm1g", "hbm128m")
 
 # kernel selection keys on the FIRST underscore token (see _build):
 # suffix tokens broke "anywhere"-style selectors twice (of4/of8
 # endswith-"16", then bf16 putting "16" into 96-channel names).  Assert
 # every probe's first token carries exactly one carrier marker so a
 # misrouted name cannot produce mislabeled measurements a third time.
+# (hbm* are carrier-free device-ceiling probes — exempt.)
 assert all(("96" in p.split("_")[0]) != ("16" in p.split("_")[0])
-           for p in PROBES), PROBES
+           for p in PROBES if not p.startswith("hbm")), PROBES
 
 
 def _build(probe: str, scale: int):
@@ -351,6 +353,24 @@ def _build(probe: str, scale: int):
             yr, yi = conv_prog(x, kd)
             return tail_prog(yr, yi)
         return fn, n
+
+    if probe in ("hbm1g", "hbm128m"):
+        # HBM bandwidth at a size where dispatch is negligible.
+        # ROOFLINE.md's "38.5 GB/s apparent" came from a 2x128 MB
+        # elementwise probe whose ~6.6 ms runtime is the SAME order as
+        # the 6.5 ms dispatch floor — i.e. it may measure dispatch, not
+        # bandwidth.  1 GB in + 1 GB out at v5e's nominal 819 GB/s is
+        # ~2.4 ms of genuine transfer; at 38.5 GB/s it is 52 ms — one
+        # order of magnitude separates the hypotheses.
+        nbytes = (1 << 30) if probe == "hbm1g" else (128 << 20)
+        nel = nbytes // 4
+        xb = jax.device_put(jnp.ones((nel,), jnp.float32))
+
+        @jax.jit
+        def fn_hbm(a):
+            return a * 1.0001 + 1.0
+        # ms_per_block here is ms per (read+write) pass of `nbytes`
+        return (lambda: jnp.sum(fn_hbm(xb)[:8])), nel
 
     if probe in ("tail16", "tail96"):
         c = 16 if probe == "tail16" else 96
