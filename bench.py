@@ -96,10 +96,13 @@ def pick_tier(results: list, attempts: dict, custom: tuple | None,
     """
     done = {r["tier"] for r in results} | set(dead)
     if custom is not None:
-        for t in custom:
-            if t not in done:
-                return t
-        return None
+        pending = [t for t in custom if t not in done]
+        if not pending:
+            return None
+        # fewest-attempts-first (list order breaks ties): one hang-prone
+        # entry must not starve the rest of the A/B list
+        return min(pending, key=lambda t: (attempts.get(t, 0),
+                                           custom.index(t)))
     full_done = [t for t in FULL_DECODE_16C
                  if t in done and t not in dead]
     if not full_done:
@@ -575,6 +578,16 @@ def main() -> int:
     dead: set = set()
     while time.monotonic() < deadline - 60.0:
         t = pick_tier(results, attempts, custom, frozenset(dead))
+        if t is None and custom is None \
+                and FULL_DECODE_16C[0] not in {r["tier"] for r in results} \
+                and deadline - time.monotonic() > 300.0:
+            # default-chain goals exhausted their attempt caps but the
+            # fastest tier is still unverified and plenty of window
+            # remains — windows flap on minute scales, so re-arm the
+            # caps and keep hunting for the better number
+            attempts = {}
+            time.sleep(30.0)
+            continue
         if t is None:
             break                    # goals met / custom list exhausted
         if not os.environ.get("BENCH_SKIP_PROBE") == "1" \

@@ -67,12 +67,18 @@ class TestPickTier:
             results.append({"ok": True, "tier": t})
         assert ran == list(custom)
 
-    def test_custom_list_retries_failed_tier(self, bench):
+    def test_custom_list_rotates_then_retries_failed_tier(self, bench):
         custom = ("fused_pallas", "fused_s2d_of")
-        # first tier failed (not in results) -> picked again next cycle
-        results = []
+        # first tier failed -> the OTHER pending tier gets its turn
+        # (a hang-prone entry must not starve the rest of the A/B list)
         attempts = {"fused_pallas": 1}
-        assert bench.pick_tier(results, attempts, custom) == "fused_pallas"
+        assert bench.pick_tier([], attempts, custom) == "fused_s2d_of"
+        # once attempts even out, the failed tier is retried
+        attempts["fused_s2d_of"] = 1
+        assert bench.pick_tier([], attempts, custom) == "fused_pallas"
+        # verified tiers leave the rotation
+        res = [{"tier": "fused_pallas"}]
+        assert bench.pick_tier(res, attempts, custom) == "fused_s2d_of"
 
     def test_default_fastest_first_then_pfb_then_done(self, bench):
         results, attempts = [], {}
