@@ -73,7 +73,8 @@ FULL_DECODE_16C = ("fused_s2d_of", "fused_s2d", "realpair64")
 # fused_s2d, fused_s2d_of, fused_s2d[_of]_b<N>, fused_pallas[...],
 # pfb, pfb_b<N>, realpair64, realpair0, single.
 
-_PFB_VARIANTS = ("s2d", "s2d_mono", "pallas", "pallas_db", "pallas_bf16")
+_PFB_VARIANTS = ("s2d", "s2d_mono", "s2d_hb16", "pallas", "pallas_db",
+                 "pallas_bf16")
 
 
 def pick_tier(results: list, attempts: dict, custom: tuple | None,

@@ -577,3 +577,49 @@ class TestBlockBatched:
         pfb = PfbMulticarrierFrontend(fused="pallas")
         with pytest.raises(ValueError):
             pfb.batched(np.zeros((2, 9600), np.complex64))
+
+
+class TestPfbHalfHandoff:
+    """fused="s2d_hb16": bf16 conv->tail handoff must keep decisions on
+    real bursts identical to the f32 split path (noise-marginal bits may
+    differ; the planted-burst candidates/CRC must not)."""
+
+    def test_hb16_decodes_planted_burst_identically(self):
+        from tetraear_tpu.models.multicarrier import PfbMulticarrierFrontend
+        fs = 2.4e6
+        st = synth.make_stream_bits(num_frames=3, lead_bits=64, seed=9,
+                                    golden=True)
+        ph = synth.synthesize_symbol_phasors(synth.bits_to_symbols(st),
+                                             mapping="ref")
+        iq = synth.upsample_hold(ph, fs, fs / 130.0)
+        t = np.arange(len(iq)) / fs
+        x = (iq * np.exp(2j * np.pi * 50e3 * t)).astype(np.complex64)
+
+        a = PfbMulticarrierFrontend(num_candidates=16, threshold=0.80,
+                                    fused="s2d")(x)
+        b = PfbMulticarrierFrontend(num_candidates=16, threshold=0.80,
+                                    fused="s2d_hb16")(x)
+        va, vb = np.asarray(a.cand_valid), np.asarray(b.cand_valid)
+        # the channel carrying the burst must agree candidate-for-
+        # candidate (positions and CRC verdicts)
+        hot = np.where(np.asarray(a.crc_ok & a.cand_valid).any(axis=-1))[0]
+        assert hot.size >= 1
+        for c in hot:
+            np.testing.assert_array_equal(va[c], vb[c])
+            np.testing.assert_array_equal(np.asarray(a.cand_pos)[c][va[c]],
+                                          np.asarray(b.cand_pos)[c][vb[c]])
+            np.testing.assert_array_equal(np.asarray(a.crc_ok)[c][va[c]],
+                                          np.asarray(b.crc_ok)[c][vb[c]])
+
+    def test_hb16_batched_parity(self):
+        from tetraear_tpu.models.multicarrier import PfbMulticarrierFrontend
+        rng = np.random.default_rng(6)
+        xb = ((rng.standard_normal((2, 12_480))
+               + 1j * rng.standard_normal((2, 12_480))) * 0.2
+              ).astype(np.complex64)
+        pfb = PfbMulticarrierFrontend(num_candidates=8, threshold=0.80,
+                                      fused="s2d_hb16")
+        rb = pfb.batched(xb)
+        r0 = pfb(xb[0])
+        np.testing.assert_array_equal(np.asarray(rb.bits[0]),
+                                      np.asarray(r0.bits))

@@ -510,13 +510,15 @@ class PfbMulticarrierFrontend:
 
         if self.fused:
             if isinstance(self.fused, str) and self.fused not in (
-                    "pallas", "pallas_db", "pallas_bf16", "s2d", "s2d_mono"):
+                    "pallas", "pallas_db", "pallas_bf16", "s2d",
+                    "s2d_mono", "s2d_hb16"):
                 # fail loudly: an unknown variant string must not silently
                 # fall through to the legacy fused_channelize_ri path and
                 # get measured/labeled as the variant that never ran
                 raise ValueError(
                     f"unknown PFB fused variant {self.fused!r}; valid: "
-                    "s2d, s2d_mono, pallas, pallas_db, pallas_bf16, True")
+                    "s2d, s2d_mono, s2d_hb16, pallas, pallas_db, "
+                    "pallas_bf16, True")
             from tetraear_tpu.ops import fused
             from tetraear_tpu.models.realpair import _demod_from_pair
             kernel, gc, rot = fused.pfb_kernel(
@@ -555,6 +557,51 @@ class PfbMulticarrierFrontend:
                     yr, yi = conv_prog_p(x, kernel_dev)
                     return tail_prog_p(yr, yi)
                 return _assemble(front_pallas)
+
+            if self.fused == "s2d_hb16":
+                # split-dispatch s2d with a HALF-PRECISION handoff: the
+                # (2, 192, 832k) f32 channel pair between conv and tail
+                # is 638 MB at bench scale, written then re-read across
+                # the program boundary that was measured to serialize —
+                # shipping it bf16 halves that traffic.  The tail's
+                # |y|^2 timing sums and differential products recompute
+                # in f32 from the bf16 symbols; decision parity on
+                # burst fixtures is pinned by
+                # tests/unit/test_fused_frontend.py (noise-marginal bits
+                # MAY differ — this variant is opt-in until a verified
+                # win AND clean parity on the conformance set).
+                L = kernel.shape[-1]
+                kernel_dev = jax.device_put(fused.s2d_kernel(kernel,
+                                                             decim))
+
+                @jax.jit
+                def conv_prog_h(x, kern):
+                    yr, yi = fused.fused_channelize_s2d_ri(x, kern, gc,
+                                                           L, decim)
+                    return (yr.astype(jnp.bfloat16),
+                            yi.astype(jnp.bfloat16))
+
+                @jax.jit
+                def tail_prog_h(yr, yi):
+                    res = _demod_from_pair(yr.astype(jnp.float32),
+                                           yi.astype(jnp.float32),
+                                           sps, z_rot=z_rot)
+                    return res.bits, res.sync_corr, res.count
+
+                if batch:
+                    bconv_h = jax.jit(jax.vmap(conv_prog_h,
+                                               in_axes=(0, None)))
+                    btail_h = jax.jit(jax.vmap(tail_prog_h))
+
+                    def front_h_b(x):
+                        yr, yi = bconv_h(x, kernel_dev)
+                        return btail_h(yr, yi)
+                    return _assemble(front_h_b, already_batched=True)
+
+                def front_h(x):
+                    yr, yi = conv_prog_h(x, kernel_dev)
+                    return tail_prog_h(yr, yi)
+                return _assemble(front_h)
 
             if self.fused in ("s2d", "s2d_mono"):
                 # the 16-carrier bench path's two wins, applied to the

@@ -28,6 +28,7 @@ ITEMS=(
   "bench_pfb|900|python bench.py --tier pfb"
   "bench_pfb_b4|900|python bench.py --tier pfb_b4"
   "bench_pfb_mono|900|BENCH_PFB_VARIANT=s2d_mono python bench.py --tier pfb"
+  "bench_pfb_hb16|900|BENCH_PFB_VARIANT=s2d_hb16 python bench.py --tier pfb"
   # conv-floor input-proportionality: if ms/block halves at scale 4 the
   # floor is input-linear (bytes/positions); if it sticks near ~29.5 it
   # is a fixed per-program cost — decides the next kernel strategy
