@@ -49,6 +49,9 @@ EOF
 }
 
 for attempt in $(seq 1 400); do
+  # hard runtime cap: the driver runs its own bench at round end and
+  # must find the device lock free — never outlive ~7.5 h
+  [ "$SECONDS" -gt 27000 ] && { echo "runtime cap reached"; exit 0; }
   pending=0
   for item in "${ITEMS[@]}"; do
     name="${item%%|*}"; rest="${item#*|}"
