@@ -234,6 +234,17 @@ class TestMouse:
         txt = _render_text(ui.state)
         assert "zoom 2x" in txt
 
+    def test_max_zoom_on_wide_terminal_renders(self):
+        # 10x zoom on a 400-bin spectrum leaves a 40-bin viewport; on a
+        # 220-column terminal np.array_split used to yield empty chunks
+        # whose .max() raised ValueError every refresh (ADVICE r4)
+        ui = self._ui_with_spectrum()
+        for _ in range(5):
+            ui.handle_key("+")
+        assert ui.state.zoom == 10.0
+        txt = _render_text(ui.state, width=220)
+        assert "zoom 10x" in txt
+
 
 class TestFindPeakNear:
     def test_parabolic_interpolation(self):

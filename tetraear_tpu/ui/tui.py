@@ -136,8 +136,14 @@ def _spectrum_sparkline(power_db: np.ndarray, width: int) -> str:
     bars = " ▁▂▃▄▅▆▇█"
     if power_db is None or len(power_db) == 0 or width <= 0:
         return ""
-    bins = np.array_split(np.asarray(power_db, float), width)
-    vals = np.array([b.max() for b in bins])
+    arr = np.asarray(power_db, float)
+    if len(arr) >= width:
+        vals = np.array([b.max() for b in np.array_split(arr, width)])
+    else:
+        # viewport narrower than the terminal (high zoom on a wide
+        # terminal): repeat bins instead of producing empty chunks,
+        # whose .max() would raise and crash the render loop
+        vals = arr[(np.arange(width) * len(arr)) // width]
     t = np.clip((vals + 100.0) / 80.0, 0.0, 1.0)
     idx = (t * (len(bars) - 1)).astype(int)
     return "".join(bars[i] for i in idx)
@@ -156,9 +162,14 @@ def _waterfall_lines(buffer: WaterfallBuffer, width: int, rows: int,
     arr = arr[-2 * rows:]
     if arr.shape[0] % 2:
         arr = np.concatenate([arr[:1], arr])
-    # downsample bins to the text width
-    cols = np.array_split(np.arange(arr.shape[1]), width)
-    ds = np.stack([arr[:, c].max(axis=1) for c in cols], axis=1)
+    # downsample bins to the text width (or repeat bins when the zoomed
+    # viewport has fewer bins than terminal columns — empty array_split
+    # chunks would raise on .max())
+    if arr.shape[1] >= width:
+        cols = np.array_split(np.arange(arr.shape[1]), width)
+        ds = np.stack([arr[:, c].max(axis=1) for c in cols], axis=1)
+    else:
+        ds = arr[:, (np.arange(width) * arr.shape[1]) // width]
     rgb = colorize(ds)
     out = []
     for r in range(0, rgb.shape[0], 2):
@@ -443,8 +454,13 @@ class TerminalUI:
         worker.start()
         t0 = time.time()
         try:
+            # alternate screen when the mouse is live: it pins the view
+            # at terminal row 1 so SPECTRUM_ROW_FIRST/LAST gating matches
+            # absolute mouse rows (inline rendering in a scrolled
+            # terminal would put the spectrum at arbitrary rows and
+            # clicks over other panels could silently retune)
             with Live(build_view(self.state, console.width),
-                      console=console, screen=False,
+                      console=console, screen=mouse_on,
                       refresh_per_second=self.refresh_hz) as live:
                 while not stop.is_set():
                     time.sleep(1.0 / self.refresh_hz)

@@ -1,83 +1,136 @@
 #!/usr/bin/env bash
-# Opportunistic TPU measurement queue (round-4 replacement for the
-# all-probes-healthy gate of measure_watch.sh): window classes on this
-# backend are op-dependent and flap on minute scales — a full-health
-# verdict is often unreachable in windows where individual tiers run
-# fine (observed live: bench verified two tiers minutes after a
-# "degraded" verdict).  So: every cycle, a 15 s f32 pregate; if it
-# passes, attempt the next PENDING item directly under a bounded
-# timeout.  Each item is its own probe (fast-fail first sync).  Items
-# are marked done by sentinel files so the queue survives restarts.
+# Opportunistic TPU measurement queue — round-5 rework of the r4 design.
 #
-# Usage: nohup bash tools/opportunist_watch.sh > logs/oppwatch.log 2>&1 &
+# The r4 queue had three process bugs (VERDICT r4 "What's weak" #1/#2):
+#   (a) its 15 s f32 pregate ran WITHOUT the device lock, so it contended
+#       with a concurrently running driver bench on the single tunneled
+#       chip and each read the other's latency as a hang;
+#   (b) it iterated ITEMS in fixed order and `break`ed the whole pass on
+#       the first failure — a hang-prone item at the queue head starved
+#       every measurement behind it (only 1 of 17 items ever completed);
+#   (c) `flock -w 600` expiring because ANOTHER holder was measuring was
+#       misclassified as a window failure.
+#
+# Round-5 rules:
+#   * The device lock is taken NON-BLOCKING before anything touches the
+#     device (including the pregate).  Lock busy => someone else is
+#     measuring; sleep and retry — never counted against the item.
+#   * Round-robin pointer: each cycle attempts at most ONE item, and the
+#     pointer advances past it regardless of outcome, so no item can
+#     starve the rest.  Items are retried on later laps until done or
+#     MAX_TRIES, when they are parked (.gaveup sentinel).
+#   * Sentinels in $OUT survive restarts: <name>.done (verified result in
+#     <name>.out), <name>.tries (attempt count), <name>.gaveup.
+#   * Hard runtime cap (~6.5 h): the driver runs its own bench at round
+#     end and must find the device lock free.
+#
+# Usage: nohup bash tools/opportunist_watch.sh > logs/oppwatch_r5.log 2>&1 &
 set -u
 cd "$(dirname "$0")/.."
-OUT=logs/r4_measure
+OUT=logs/r5_measure
 mkdir -p "$OUT"
+LOCK=/tmp/tetraear_tpu_device.lock
+MAX_TRIES=${OPPWATCH_MAX_TRIES:-10}
+CAP_S=${OPPWATCH_CAP_S:-23400}
 
 # name|timeout|command  (command's stdout -> $OUT/<name>.out)
+# Priority order = decision value (VERDICT r4 next-round items 3-5):
+# hbm1g decides the ROOFLINE HBM ceiling; the s2d16 scale sweep decides
+# whether the 34.8 ms conv floor is fixed-cost or input-linear; pallas*
+# decides the MXU-kernel bet; cand96/tail96 attribute the 96-ch tail gap.
 ITEMS=(
-  "bench_b4|700|python bench.py --tier fused_s2d_of_b4"
-  "bench_b8|700|python bench.py --tier fused_s2d_of_b8"
-  "bench_of|700|python bench.py --tier fused_s2d_of"
+  "hbm1g|700|python tools/tpu_conv_probe.py --probe hbm1g --iters 6"
   "pallas16|700|python tools/tpu_conv_probe.py --probe pallas16 --scale 8"
+  "s2d16_sc8|700|python tools/tpu_conv_probe.py --probe s2d16 --scale 8"
+  "s2d16_sc4|700|python tools/tpu_conv_probe.py --probe s2d16 --scale 4"
+  "s2d16_sc2|700|python tools/tpu_conv_probe.py --probe s2d16 --scale 2"
   "pallas16_of4|700|python tools/tpu_conv_probe.py --probe pallas16_of4 --scale 8"
   "pallas96|700|python tools/tpu_conv_probe.py --probe pallas96 --scale 8"
   "cand96|700|python tools/tpu_conv_probe.py --probe cand96 --scale 8"
   "tail96|700|python tools/tpu_conv_probe.py --probe tail96 --scale 8"
+  "bench_full|1200|BENCH_WINDOW_S=900 python bench.py"
   "bench_pfb|900|python bench.py --tier pfb"
   "bench_pfb_b4|900|python bench.py --tier pfb_b4"
   "bench_pfb_mono|900|BENCH_PFB_VARIANT=s2d_mono python bench.py --tier pfb"
   "bench_pfb_hb16|900|BENCH_PFB_VARIANT=s2d_hb16 python bench.py --tier pfb"
-  # conv-floor input-proportionality: if ms/block halves at scale 4 the
-  # floor is input-linear (bytes/positions); if it sticks near ~29.5 it
-  # is a fixed per-program cost — decides the next kernel strategy
-  "s2d16_sc4|700|python tools/tpu_conv_probe.py --probe s2d16 --scale 4"
-  "s2d16_sc2|700|python tools/tpu_conv_probe.py --probe s2d16 --scale 2"
-  "s2d16_sc8|700|python tools/tpu_conv_probe.py --probe s2d16 --scale 8"
-  # real HBM bandwidth (the 38.5 GB/s 'apparent' number may be the
-  # dispatch floor in disguise — ROOFLINE.md revision hinges on this)
-  "hbm1g|700|python tools/tpu_conv_probe.py --probe hbm1g --iters 6"
+  "bench_of|700|python bench.py --tier fused_s2d_of"
 )
+N=${#ITEMS[@]}
+
+log() { echo "[$(date -u +%H:%M:%S)] $*"; }
 
 pregate() {
-  timeout 15 python - <<'EOF' 2>/dev/null | grep -q DIGEST
+  # runs UNDER the device lock (fd 9 held by caller)
+  TETRAEAR_DEVLOCK_HELD=1 timeout 15 python - <<'EOF' 2>/dev/null | grep -q DIGEST
 import numpy as np, jax, jax.numpy as jnp
 x = jnp.asarray(np.arange(200000, dtype=np.float32))
 print("DIGEST", float(np.asarray(jnp.sum(x + 1.0).astype(jnp.float32))))
 EOF
 }
 
-for attempt in $(seq 1 400); do
-  # hard runtime cap: the driver runs its own bench at round end and
-  # must find the device lock free — never outlive ~7.5 h
-  [ "$SECONDS" -gt 27000 ] && { echo "runtime cap reached"; exit 0; }
-  pending=0
-  for item in "${ITEMS[@]}"; do
-    name="${item%%|*}"; rest="${item#*|}"
-    tmo="${rest%%|*}"; cmd="${rest#*|}"
+idx=0
+wedged=0
+for attempt in $(seq 1 2000); do
+  [ "$SECONDS" -gt "$CAP_S" ] && { log "runtime cap reached"; exit 0; }
+
+  # pick the next pending item at/after the round-robin pointer
+  pick=-1
+  for off in $(seq 0 $((N - 1))); do
+    i=$(( (idx + off) % N ))
+    name="${ITEMS[$i]%%|*}"
     [ -e "$OUT/$name.done" ] && continue
-    pending=1
-    if ! pregate; then
-      echo "[$(date +%H:%M:%S)] pregate hung; sleeping"
-      break
-    fi
-    echo "[$(date +%H:%M:%S)] attempt $name"
-    if flock -w 600 /tmp/tetraear_tpu_device.lock \
-         env TETRAEAR_DEVLOCK_HELD=1 timeout "$tmo" bash -c "$cmd" \
-         > "$OUT/$name.out.tmp" 2> "$OUT/$name.err"; then
-      # success requires a real result line, not just rc=0
-      if grep -qE '"ok": true|ms_per_block' "$OUT/$name.out.tmp"; then
-        mv "$OUT/$name.out.tmp" "$OUT/$name.out"
-        touch "$OUT/$name.done"
-        echo "[$(date +%H:%M:%S)] DONE $name: $(tail -c 200 "$OUT/$name.out")"
-        continue
-      fi
-    fi
-    echo "[$(date +%H:%M:%S)] $name failed/hung: $(tail -c 150 "$OUT/$name.out.tmp" 2>/dev/null) $(tail -c 100 "$OUT/$name.err" 2>/dev/null | tr '\n' ' ')"
-    break   # window likely closed; re-pregate next cycle
+    [ -e "$OUT/$name.gaveup" ] && continue
+    pick=$i
+    break
   done
-  [ "$pending" = 0 ] && { echo "queue drained"; exit 0; }
-  sleep 150
+  if [ "$pick" -lt 0 ]; then log "queue drained"; exit 0; fi
+  idx=$(( (pick + 1) % N ))          # advance regardless of outcome
+
+  item="${ITEMS[$pick]}"
+  name="${item%%|*}"; rest="${item#*|}"
+  tmo="${rest%%|*}"; cmd="${rest#*|}"
+
+  # non-blocking device lock on fd 9; busy => another measurement owns
+  # the chip (e.g. the driver bench) — NOT a window failure, no attempt
+  # is charged, just back off
+  exec 9>"$LOCK"
+  if ! flock -n 9; then
+    exec 9>&-
+    log "device lock busy; backing off"
+    sleep 60
+    continue
+  fi
+
+  if ! pregate; then
+    exec 9>&-
+    wedged=$((wedged + 1))
+    # every 5th wedged cycle, log at least; cheap 15 s probe + 30 s nap
+    [ $((wedged % 5)) -eq 1 ] && log "pregate hung (wedged); napping"
+    sleep 30
+    continue
+  fi
+  wedged=0
+
+  tries=$(cat "$OUT/$name.tries" 2>/dev/null || echo 0)
+  tries=$((tries + 1)); echo "$tries" > "$OUT/$name.tries"
+  log "attempt $name (try $tries/$MAX_TRIES)"
+  if env TETRAEAR_DEVLOCK_HELD=1 timeout "$tmo" bash -c "$cmd" \
+       > "$OUT/$name.out.tmp" 2> "$OUT/$name.err"; then
+    # success requires a real result line, not just rc=0
+    if grep -qE '"ok": true|ms_per_block|"metric"' "$OUT/$name.out.tmp"; then
+      mv "$OUT/$name.out.tmp" "$OUT/$name.out"
+      touch "$OUT/$name.done"
+      log "DONE $name: $(tail -c 220 "$OUT/$name.out")"
+      exec 9>&-
+      continue
+    fi
+  fi
+  exec 9>&-
+  log "$name failed/hung: $(tail -c 150 "$OUT/$name.out.tmp" 2>/dev/null) $(tail -c 120 "$OUT/$name.err" 2>/dev/null | tr '\n' ' ')"
+  if [ "$tries" -ge "$MAX_TRIES" ]; then
+    touch "$OUT/$name.gaveup"
+    log "PARKED $name after $tries tries"
+  fi
+  sleep 10
 done
-echo "attempts exhausted"
+log "attempts exhausted"
