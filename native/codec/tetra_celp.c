@@ -27,6 +27,9 @@
 
 #include <math.h>
 #include <string.h>
+#ifdef GAIN_STATS
+#include <stdio.h>
+#endif
 
 #ifndef M_PI
 #define M_PI 3.14159265358979323846
@@ -74,11 +77,32 @@ static const float LSF_STEP[LP_ORDER] = {
 #define LSF_PRED 0.4f
 #define LSF_MIN_GAP 0.0314f    /* ~40 Hz */
 
+#ifdef GP_TABLE_OVERRIDE                /* tuning-sweep hook */
+static const float GP_TABLE[8] = {GP_TABLE_OVERRIDE};
+#else
+/* adaptive-gain levels re-sized from measured jointly-optimal gains
+ * (gp_opt p25/p50/p75 = 0.87/1.01/1.27): dense near 1.0 where voiced
+ * subframes live, one zero entry for unvoiced.  Measured +0.37 dB
+ * segSNR over the original even spacing (round-5 sweep,
+ * tools/codec_quality.py). */
 static const float GP_TABLE[8] = {
-    0.0f, 0.2f, 0.4f, 0.55f, 0.7f, 0.85f, 1.0f, 1.2f};
+    0.0f, 0.45f, 0.65f, 0.78f, 0.9f, 1.0f, 1.1f, 1.2f};
+#endif
+#ifdef GC_TABLE_OVERRIDE                /* tuning-sweep hook */
+static const float GC_DELTA_DB[8] = {GC_TABLE_OVERRIDE};
+#else
 static const float GC_DELTA_DB[8] = {
     -18.0f, -10.0f, -5.0f, -1.5f, 1.5f, 5.0f, 10.0f, 18.0f};
-#define GC_MEAN_DB 36.0f       /* typical voiced fixed-gain energy */
+#endif
+#ifndef GC_MEAN_DB
+/* center of the fixed-gain quantizer's reachable energy range.
+ * Sized from measured jointly-optimal innovation energies on the test
+ * corpus (tools/codec_quality.py instrumentation, -DGAIN_STATS):
+ * e_opt p5..p95 = 50.6..63.1 dB at full-scale speech — the original
+ * 36 dB saturated the +18 dB delta step on nearly every voiced
+ * subframe (59% of subframes wanted |delta| > 10 dB). */
+#define GC_MEAN_DB 48.0f
+#endif
 #define GC_MIN_DB (-24.0f)
 
 /* 1/3-resolution fractional-delay interpolator: 3 phases x 9 taps of a
@@ -592,8 +616,12 @@ void celp_encode_frame(tetra_celp_state *st, const float *speech,
              * first subframes innovation-heavy (gp capped), like a
              * voiced onset — streaming and per-block decode then hear
              * the same thing */
-            int gp_max = (fresh && sf == 0) ? 3
-                         : (fresh && sf == 1) ? 6 : 8;
+#ifndef FRESH_GP_SF0
+#define FRESH_GP_SF0 3         /* tuning-sweep hooks (index caps) */
+#define FRESH_GP_SF1 6
+#endif
+            int gp_max = (fresh && sf == 0) ? FRESH_GP_SF0
+                         : (fresh && sf == 1) ? FRESH_GP_SF1 : 8;
             float berr = 1e30f;
             for (int i = 0; i < gp_max; ++i) {
                 float a1 = GP_TABLE[i];
@@ -618,6 +646,22 @@ void celp_encode_frame(tetra_celp_state *st, const float *speech,
         float gc_q = powf(10.0f, e_q / 20.0f);
         gain_update(st, GC_DELTA_DB[gc_idx]);
         st->gp_prev_q = gp_q;
+#ifdef GAIN_STATS
+        {
+            /* diagnostic build: unquantized optima vs chosen indices,
+             * for sizing the gain tables (stderr, one line/subframe) */
+            float det = y11 * y22 - y12 * y12;
+            float gpo = 0.0f, gco = 0.0f;
+            if (fabsf(det) > 1e-9f) {
+                gpo = (xy1 * y22 - xy2 * y12) / det;
+                gco = (xy2 * y11 - xy1 * y12) / det;
+            }
+            float eo = (gco > 1e-9f) ? 20.0f * log10f(gco) : GC_MIN_DB;
+            fprintf(stderr, "GAINS gp_idx=%d gc_idx=%d gp_opt=%.3f "
+                    "delta_opt=%.2f e_opt=%.2f\n", gp_idx, gc_idx, gpo,
+                    eo - e_pred, eo);
+        }
+#endif
 
         /* --- build excitation, update AbS memory --- */
         float diff[SUB_N];

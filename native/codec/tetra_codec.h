@@ -22,6 +22,13 @@
  * and the full UEP channel coding chain with soft-decision Viterbi.
  * Encoder and decoder are exact mirrors; the channel pair round-trips
  * bit-exactly and corrects real channel errors (tests/codec/).
+ * Measured operating point (round 5, tools/codec_quality.py, 3-seed
+ * synthetic speech): streaming corr 0.94 / segSNR 9.5 dB; per-block
+ * with the host's 4-block serial warm-up context 0.93 / 9.3 dB.  The
+ * round-5 step came from re-centering the fixed-gain quantizer
+ * (GC_MEAN_DB 36 -> 48 dB; the old mean saturated the +18 dB delta on
+ * 59% of subframes) and re-sizing GP_TABLE around the measured optimal
+ * adaptive gains (dense near 1.0).
  *
  * File contracts (must match the reference exe behavior exactly):
  *   scoder   in.pcm  out.serial   240 x int16 LE per frame ->

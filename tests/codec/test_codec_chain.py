@@ -46,10 +46,15 @@ class TestSubprocessChain:
         assert 0.01 < float(np.max(np.abs(audio))) <= 1.0
 
     def test_deterministic_and_input_dependent(self, vp, rng):
+        # decode_frame is deterministic GIVEN the same serial warm-up
+        # context (context priming makes back-to-back decodes of one
+        # block history-dependent by design — reset between runs)
         bits = rng.integers(0, 2, 432)
         a = vp.decode_frame(blocks.block_from_hard_bits(bits))
+        vp.reset_context()
         b = vp.decode_frame(blocks.block_from_hard_bits(bits))
         np.testing.assert_array_equal(a, b)
+        vp.reset_context()
         c = vp.decode_frame(blocks.block_from_hard_bits(1 - bits))
         assert not np.array_equal(a, c)
 

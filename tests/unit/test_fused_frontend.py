@@ -479,6 +479,57 @@ class TestExtractCandidates:
             assert bool(np.asarray(crc_ok)[0, j]) == soft_crc_check_host(
                 data)
 
+    def test_onehot_windows_match_clamped_gather(self, rng):
+        """_windows_onehot == the legacy clamped gather bit-for-bit,
+        including adversarial starts (tile boundaries, r=0/127, ends
+        past the stream where the clamp repeats the last bit)."""
+        import jax.numpy as jnp
+
+        from tetraear_tpu import constants as C
+        from tetraear_tpu.models.multicarrier import _windows_onehot
+
+        b = 5000
+        bits = rng.integers(0, 2, (3, b)).astype(np.uint8)
+        starts = np.array([[0, 1, 127, 128, 129, 255, 4489, 4490,
+                            4600, 4900, 4977, 4999]] * 3, np.int32)
+        got = np.asarray(_windows_onehot(jnp.asarray(bits),
+                                         jnp.asarray(starts)))
+        for row in range(3):
+            for j, s in enumerate(starts[row]):
+                idx = np.minimum(s + np.arange(C.BITS_PER_SLOT), b - 1)
+                np.testing.assert_array_equal(got[row, j], bits[row, idx])
+
+    def test_onehot_candidates_equal_vmap(self, rng, monkeypatch):
+        """Full extract_candidates parity: TETRAEAR_CAND_GATHER=onehot
+        produces identical (pos, corr, valid, frames, crc) to the
+        legacy vmap gather, on a stream with planted frames AND rows
+        whose top-k spills into masked/clamped territory."""
+        import jax.numpy as jnp
+
+        from tetraear_tpu.models.multicarrier import extract_candidates
+        from tetraear_tpu.ops import sync as sync_ops
+        from tetraear_tpu.utils import synth
+
+        bits = rng.integers(0, 2, (2, 9000)).astype(np.uint8)
+        bits[0, 700:1210] = synth.make_mac_resource_frame_bits(
+            b"HELLO", seed=3)
+        bits[1, 8400:8910] = synth.make_mac_resource_frame_bits(
+            b"EDGE", seed=4)
+        bj = jnp.asarray(bits)
+        corr = sync_ops.best_correlation(bj)
+        vb = jnp.asarray([9000, 9000])
+
+        def run():
+            return [np.asarray(o) for o in
+                    extract_candidates(bj, corr, vb, 16, 0.9)]
+
+        monkeypatch.setenv("TETRAEAR_CAND_GATHER", "vmap")
+        legacy = run()
+        monkeypatch.setenv("TETRAEAR_CAND_GATHER", "onehot")
+        fast = run()
+        for a, c in zip(legacy, fast):
+            np.testing.assert_array_equal(a, c)
+
     def test_small_stream_plain_topk_path(self, rng):
         """Streams too short for segmentation use plain top_k and still
         find the planted sync."""

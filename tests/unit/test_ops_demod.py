@@ -3,6 +3,7 @@ mirror the reference algorithms (processor.py, decoder.py, protocol.py)."""
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from tetraear_tpu import constants as C
 from tetraear_tpu.ops import timing, dqpsk, sync, crc
@@ -220,3 +221,38 @@ class TestDenseSoftCrc:
         all0 = np.asarray(soft_crc_dense(jnp.zeros((1, 600), jnp.uint8)))
         all1 = np.asarray(soft_crc_dense(jnp.ones((1, 600), jnp.uint8)))
         assert not all0.any() and not all1.any()
+
+    @pytest.mark.parametrize("fold,bf16", [(4, False), (4, True),
+                                           (8, True), (1, True)])
+    def test_folded_bf16_variants_bit_identical(self, rng, fold, bf16):
+        """Output-folded / bf16 dense CRC == the legacy f32 stride-1
+        program EXACTLY (bits and the 0/1 kernel are exact in bf16 and
+        accumulation is f32, so the integer sums cannot differ) — incl.
+        lengths where the folded position count is not a multiple of
+        fold and a planted real frame."""
+        import jax.numpy as jnp
+        from tetraear_tpu.ops.crc import soft_crc_dense
+        from tetraear_tpu.utils.synth import make_mac_resource_frame_bits
+        for b in (701, 1024, 1500):
+            bits = rng.integers(0, 2, (3, b)).astype(np.uint8)
+            bits[1, 99:99 + 510] = make_mac_resource_frame_bits(
+                b"HELLO", seed=4)
+            legacy = np.asarray(soft_crc_dense(jnp.asarray(bits),
+                                               fold=1, bf16=False))
+            fast = np.asarray(soft_crc_dense(jnp.asarray(bits),
+                                             fold=fold, bf16=bf16))
+            np.testing.assert_array_equal(fast, legacy)
+            assert legacy[1, 99]            # sanity: planted frame hits
+
+    def test_env_variant_selection(self, rng, monkeypatch):
+        import jax.numpy as jnp
+        from tetraear_tpu.ops import crc as crc_mod
+        bits = rng.integers(0, 2, (2, 800)).astype(np.uint8)
+        want = np.asarray(crc_mod.soft_crc_dense(jnp.asarray(bits),
+                                                 fold=1, bf16=False))
+        monkeypatch.setenv("TETRAEAR_CRC_DENSE", "of4_bf16")
+        got = np.asarray(crc_mod.soft_crc_dense(jnp.asarray(bits)))
+        np.testing.assert_array_equal(got, want)
+        monkeypatch.setenv("TETRAEAR_CRC_DENSE", "bogus")
+        with pytest.raises(ValueError):
+            crc_mod.soft_crc_dense(jnp.asarray(bits))

@@ -85,6 +85,21 @@ class VoiceProcessor:
         self.speech_decoder_available = self.sdecoder_path.exists()
         self.working = (self.channel_decoder_available
                         and self.speech_decoder_available)
+        # Context priming for per-block decode: the speech decoder loses
+        # all state (adaptive-codebook history, synthesis/postfilter
+        # memory) when invoked per 690-short block, the contract the
+        # reference inherits from its prebuilt binaries
+        # (voice.py:159-208).  Prepending the previous blocks' serial
+        # bits as warm-up and keeping only the tail recovers streaming
+        # quality (measured round 5, tools/codec_quality.py: per-block
+        # segSNR 5.2 dB bare -> 9.3 dB with 4 context blocks vs 9.5
+        # streaming).
+        try:
+            self.context_blocks = max(0, int(os.environ.get(
+                "TETRAEAR_CODEC_CONTEXT", "4")))
+        except ValueError:
+            self.context_blocks = 4
+        self._serial_ctx: list[bytes] = []
         if not self.channel_decoder_available:
             logger.warning("TETRA codec channel decoder not found at %s",
                            self.cdecoder_path)
@@ -98,6 +113,7 @@ class VoiceProcessor:
             return np.zeros(0)
         if not validate_block(frame_data):
             logger.debug("Invalid codec block (%d bytes)", len(frame_data))
+            self._serial_ctx.clear()
             return np.zeros(0)
 
         keep_temp = os.environ.get("TETRAEAR_KEEP_CODEC_TEMP", "").strip(
@@ -120,17 +136,35 @@ class VoiceProcessor:
 
         try:
             if not self._run_stage(self.cdecoder_path, in_path, serial_path):
+                self._serial_ctx.clear()
                 _cleanup()
                 return np.zeros(0)
             self._log_bfi(serial_path)
+            # warm-up context: prepend previous blocks' serial bits so
+            # the fresh sdecoder process rebuilds its excitation/synthesis
+            # state, then keep only this block's samples
+            serial_cur = serial_path.read_bytes()
+            n_warm = 0
+            if (self.context_blocks > 0
+                    and len(serial_cur) == 2 * 138 * 2
+                    and self._serial_ctx):
+                ctx = self._serial_ctx[-self.context_blocks:]
+                serial_path.write_bytes(b"".join(ctx) + serial_cur)
+                n_warm = 480 * len(ctx)
             if not self._run_stage(self.sdecoder_path, serial_path, synth_path):
+                self._serial_ctx.clear()
                 _cleanup()
                 return np.zeros(0)
 
             pcm = np.frombuffer(synth_path.read_bytes(), dtype=np.int16)
+            pcm = pcm[n_warm:]
             if pcm.size == 0:
+                self._serial_ctx.clear()
                 _cleanup()
                 return np.zeros(0)
+            if self.context_blocks > 0 and len(serial_cur) == 2 * 138 * 2:
+                self._serial_ctx.append(serial_cur)
+                del self._serial_ctx[:-self.context_blocks]
             audio = pcm.astype(np.float32) / 32768.0
             max_amp = float(np.max(np.abs(audio)))
             codec_logger.debug("Codec produced %d samples (max amp %.4f)",
@@ -146,8 +180,14 @@ class VoiceProcessor:
             return audio
         except Exception as e:
             logger.debug("Voice decode error: %s", e)
+            self._serial_ctx.clear()
             _cleanup()
             return np.zeros(0)
+
+    def reset_context(self) -> None:
+        """Drop the warm-up serial context (call at call/stream
+        boundaries so one call's tail cannot prime another's start)."""
+        self._serial_ctx.clear()
 
     def decode_stream(self, blocks) -> np.ndarray:
         """Decode a SEQUENCE of 690-short blocks in one codec invocation

@@ -12,6 +12,7 @@ parts: jit-friendly raggedness).
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import numpy as np
@@ -33,6 +34,72 @@ class MulticarrierResult(NamedTuple):
     cand_valid: jnp.ndarray  # (C, K) bool — corr >= threshold & in-bounds
     frame_bits: jnp.ndarray  # (C, K, 510) uint8 candidate frame windows
     crc_ok: jnp.ndarray      # (C, K) bool — device soft-CRC verdict
+
+
+def _window_mode() -> str:
+    """Candidate-window extraction: "vmap" (legacy per-row gather — the
+    r2-r4 verified program) or "onehot" (gather-free tile matmul).
+    Round-5 attribution (tools/tpu_conv_probe.py candgather96): the
+    vmap gather is 39.2 ms of the 39.8 ms 96-channel candidates
+    program on the remote TPU — gathers of any shape are pathological
+    on this backend.  Default flips only after a measured same-window
+    device win (VERDICT r4 #6 discipline)."""
+    v = os.environ.get("TETRAEAR_CAND_GATHER", "vmap")
+    if v not in ("vmap", "onehot"):
+        raise ValueError(f"TETRAEAR_CAND_GATHER={v!r} invalid")
+    return v
+
+
+def _windows_onehot(bits: jnp.ndarray, start: jnp.ndarray) -> jnp.ndarray:
+    """Gather-free candidate-window extraction, bit-identical to the
+    clamped gather ``bits[c, min(start+j, b-1)]``.
+
+    TPU-first formulation: the bit stream is tiled into 128-bit
+    segments (pure reshape), each candidate's 6 consecutive tiles are
+    selected by a one-hot MATMUL over the segment axis (MXU work, no
+    gather), and the sub-tile shift r in [0,128) is applied by two
+    levels of one-hot-weighted STATIC slices (8 x 16).  Padding
+    replicates the last bit so out-of-range reads equal the legacy
+    clamp exactly.  All arithmetic is one-hot selection of 0/1 values
+    in bf16 with f32 accumulation — exact by construction (pinned by
+    tests/unit/test_multicarrier.py)."""
+    S = 128
+    b = bits.shape[-1]
+    lead = bits.shape[:-1] + start.shape[-1:]          # (..., K)
+    flat = bits.reshape(-1, b)
+    n = flat.shape[0]
+    kk = start.shape[-1]
+    st = start.reshape(n, kk).astype(jnp.int32)
+    # max read index: start + 509; pad (last-bit replicate) to tile grid
+    # with 6 spare tiles so every q+i tile row exists
+    pad_to = (-(-(b + C.BITS_PER_SLOT) // S) + 6) * S
+    padf = jnp.concatenate(
+        [flat, jnp.broadcast_to(flat[:, -1:], (n, pad_to - b))], axis=-1)
+    nseg = pad_to // S
+    r_tiles = padf.reshape(n, nseg, S)
+    q, r = st // S, st % S
+    ohq = (q[..., None]
+           == jnp.arange(nseg, dtype=jnp.int32)).astype(jnp.bfloat16)
+    # T[n, k, i*S:(i+1)*S] = tile q+i of row n  (6 shifted one-hot
+    # matmuls; ~10 GFLOP at the 96-channel bench shape — MXU noise)
+    parts = [
+        jnp.einsum("nkq,nqt->nkt", ohq[:, :, : nseg - i],
+                   r_tiles[:, i:, :].astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)
+        for i in range(6)
+    ]
+    t6 = jnp.concatenate(parts, axis=-1)               # (n, K, 768) f32
+    # fine shift r = 16*a + u via two one-hot-weighted static-slice sums
+    a, u = r // 16, r % 16
+    oha = (a[..., None] == jnp.arange(8)).astype(jnp.float32)
+    t8 = jnp.stack([t6[..., 16 * i:16 * i + C.BITS_PER_SLOT + 15]
+                    for i in range(8)], axis=-2)       # (n, K, 8, 525)
+    t1 = jnp.sum(oha[..., None] * t8, axis=-2)         # (n, K, 525)
+    ohu = (u[..., None] == jnp.arange(16)).astype(jnp.float32)
+    t16 = jnp.stack([t1[..., i:i + C.BITS_PER_SLOT]
+                     for i in range(16)], axis=-2)     # (n, K, 16, 510)
+    frames = jnp.sum(ohu[..., None] * t16, axis=-2)
+    return frames.astype(jnp.uint8).reshape(lead + (C.BITS_PER_SLOT,))
 
 
 def extract_candidates(bits: jnp.ndarray, corr: jnp.ndarray,
@@ -75,16 +142,20 @@ def extract_candidates(bits: jnp.ndarray, corr: jnp.ndarray,
         top_pos = (top_seg * seg
                    + jnp.take_along_axis(seg_arg, top_seg, axis=-1))
     start = jnp.maximum(top_pos - C.SYNC_TO_FRAME_START_BITS, 0)
-    win = start[..., None] + jnp.arange(C.BITS_PER_SLOT)[None, :]
-    win = jnp.minimum(win, b - 1)
-    # batched gather WITHOUT materializing the (C, K, B) broadcast of the
-    # bit streams first (at 96 channels x 64 candidates x 131k bench bits
-    # the broadcast is an ~800 MB u8 intermediate — HBM-bound, and this
-    # backend is pathologically slow on large gathers already)
-    flat_bits = bits.reshape(-1, b)
-    flat_win = win.reshape(flat_bits.shape[0], -1, C.BITS_PER_SLOT)
-    frames = jax.vmap(lambda bb, ww: bb[ww])(flat_bits, flat_win)
-    frames = frames.reshape(win.shape)
+    if _window_mode() == "onehot":
+        frames = _windows_onehot(bits, start)
+    else:
+        win = start[..., None] + jnp.arange(C.BITS_PER_SLOT)[None, :]
+        win = jnp.minimum(win, b - 1)
+        # batched gather WITHOUT materializing the (C, K, B) broadcast
+        # of the bit streams first (at 96 channels x 64 candidates x
+        # 131k bench bits the broadcast is an ~800 MB u8 intermediate —
+        # HBM-bound, and this backend is pathologically slow on large
+        # gathers already)
+        flat_bits = bits.reshape(-1, b)
+        flat_win = win.reshape(flat_bits.shape[0], -1, C.BITS_PER_SLOT)
+        frames = jax.vmap(lambda bb, ww: bb[ww])(flat_bits, flat_win)
+        frames = frames.reshape(win.shape)
     valid = (top_corr >= threshold)
     # CRC verdicts straight from the gathered candidate frames: the data
     # region (window offsets [0,108) u [122,230), sync-overlap geometry)

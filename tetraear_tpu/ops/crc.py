@@ -18,6 +18,8 @@ retry (protocol.py:292-329).
 from __future__ import annotations
 
 import functools
+import os
+import re
 
 import numpy as np
 import jax.numpy as jnp
@@ -142,7 +144,45 @@ def _dense_crc_kernel() -> tuple:
     return kernel, c0
 
 
-def soft_crc_dense(bits: jnp.ndarray) -> jnp.ndarray:
+@functools.lru_cache(maxsize=4)
+def _dense_crc_kernel_of(fold: int) -> tuple:
+    """Output-folded dense-CRC kernel: (33*fold, 1, 229+fold), c0.
+
+    Same trick as ops/fused.s2d_of_kernel: the 33-output-channel CRC
+    conv fills only 33 of the MXU's 128 output lanes; folding `fold`
+    consecutive window positions into the channel dimension gives
+    33*fold output rows (132 at fold=4) at the cost of fold-1 zero taps
+    per row, with a stride-`fold` conv.  out[o, w*fold + r] =
+    (stride-fold conv)[o*fold + r, w] — identical sums, different MXU
+    lane."""
+    kernel, c0 = _dense_crc_kernel()
+    k = np.asarray(kernel)                      # (33, 1, 230)
+    k3 = np.zeros((33, fold, 1, 230 + fold - 1), np.float32)
+    for r in range(fold):
+        k3[:, r, :, r:r + 230] = k
+    return k3.reshape(33 * fold, 1, 230 + fold - 1), c0
+
+
+def _crc_dense_defaults() -> tuple:
+    """(fold, bf16) for soft_crc_dense when the caller does not choose.
+
+    TETRAEAR_CRC_DENSE: "legacy" (fold=1 f32 — the r2-r4 verified
+    program, byte-identical HLO so the persistent compile cache and the
+    verified bench tiers are untouched) or "of<F>[_bf16]".  The fast
+    variant is bit-identical by construction; it becomes the default
+    only after a measured same-window device win (VERDICT r4 #6
+    discipline)."""
+    v = os.environ.get("TETRAEAR_CRC_DENSE", "legacy")
+    if v == "legacy":
+        return 1, False
+    m = re.fullmatch(r"of(\d+)(_bf16)?", v)
+    if not m:
+        raise ValueError(f"TETRAEAR_CRC_DENSE={v!r} invalid")
+    return int(m.group(1)), bool(m.group(2))
+
+
+def soft_crc_dense(bits: jnp.ndarray, fold: int | None = None,
+                   bf16: bool | None = None) -> jnp.ndarray:
     """Reference soft-CRC verdict at EVERY frame-window start position.
 
     bits: (..., B) in {0,1} -> (..., B-229) bool where out[..., s] is
@@ -151,19 +191,47 @@ def soft_crc_dense(bits: jnp.ndarray) -> jnp.ndarray:
     (large gathers are pathological on the remote TPU backend) — and it
     scores every position, not just a top-K subset.  Equivalence with
     soft_crc_check_batch on extracted windows is pinned by tests.
+
+    fold > 1 output-folds the conv so 33*fold output channels fill the
+    MXU's output lanes (round-5: the unfolded f32 conv measured 27.6 ms
+    of the 39.8 ms 96-channel candidates program); bf16 casts the
+    inputs (bits and a 0/1 kernel are exact in bf16, accumulation stays
+    f32, so every sum — integers <= 233 — is EXACT and the verdict is
+    bit-identical; pinned by tests/unit/test_crc.py).
     """
     from jax import lax
-    kernel_np, c0 = _dense_crc_kernel()
+    if fold is None or bf16 is None:
+        dfold, dbf16 = _crc_dense_defaults()
+        fold = dfold if fold is None else fold
+        bf16 = dbf16 if bf16 is None else bf16
     b = bits.shape[-1]
     if b < 230:
         return jnp.zeros(bits.shape[:-1] + (0,), bool)
-    x = bits.astype(jnp.float32).reshape((-1, 1, b))
-    out = lax.conv_general_dilated(
-        x, jnp.asarray(kernel_np), (1,), ((0, 0),),
-        dimension_numbers=("NCW", "OIW", "NCW"),
-        preferred_element_type=jnp.float32)       # (N, 33, B-229)
+    p = b - 229
+    dt = jnp.bfloat16 if bf16 else jnp.float32
+    if fold > 1:
+        kernel_np, c0 = _dense_crc_kernel_of(fold)
+        wf = -(-p // fold)                       # ceil: stride-F count
+        # pad so every stride-F window exists; positions >= p sliced off
+        need = (wf - 1) * fold + (230 + fold - 1)
+        x = bits.astype(dt).reshape((-1, 1, b))
+        if need > b:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, need - b)))
+        out = lax.conv_general_dilated(
+            x, jnp.asarray(kernel_np, dt), (fold,), ((0, 0),),
+            dimension_numbers=("NCW", "OIW", "NCW"),
+            preferred_element_type=jnp.float32)  # (N, 33F, wf)
+        n_rows = out.shape[0]
+        out = out.reshape(n_rows, 33, fold, wf).transpose(0, 1, 3, 2)
+        out = out.reshape(n_rows, 33, wf * fold)[..., :p]
+    else:
+        kernel_np, c0 = _dense_crc_kernel()
+        x = bits.astype(dt).reshape((-1, 1, b))
+        out = lax.conv_general_dilated(
+            x, jnp.asarray(kernel_np, dt), (1,), ((0, 0),),
+            dimension_numbers=("NCW", "OIW", "NCW"),
+            preferred_element_type=jnp.float32)   # (N, 33, B-229)
     sums = out.astype(jnp.int32)
-    p = sums.shape[-1]
     # rows 0..31 already include the received CRC bit via the kernel tap
     # (see _dense_crc_kernel) — parity(computed + received + c0) is the
     # per-bit XOR, no shifted-slice stack needed

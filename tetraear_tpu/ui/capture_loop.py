@@ -143,6 +143,9 @@ class CaptureLoop:
                         new_freq, self.pending_freq = self.pending_freq, None
                         self.frequency = new_freq
                         self.source.set_frequency(new_freq)
+                        # new carrier = new voice stream: stale serial
+                        # context must not prime the next call's decode
+                        self.voice_processor.reset_context()
                     except Exception as e:
                         self.on_error(f"Failed to set frequency: {e}")
 

@@ -40,6 +40,8 @@ PROBES = ("fused16", "pallas16", "pallas16_db", "pallas16_bf16",
           "pfb96_s2d_bf16", "tail16", "tail96", "cand16", "cand96",
           "front16_s2d", "front96_s2d", "split16_s2d", "split16_of4",
           "split96_s2d", "crc96", "topk96", "wingather96",
+          "candtopk96", "candgather96", "candgather96_oh", "candcrc96",
+          "cand96_oh", "cand16_oh", "crc96_of4", "crc96_of4_bf16",
           "hbm1g", "hbm128m")
 
 # kernel selection keys on the FIRST underscore token (see _build):
@@ -244,10 +246,13 @@ def _build(probe: str, scale: int):
             return jnp.sum(out)
         return (lambda: fn(x, kd)), n
 
-    if probe in ("cand16", "cand96"):
-        # the candidates+CRC program alone (the third dispatched stage)
+    if probe in ("cand16", "cand96", "cand96_oh", "cand16_oh"):
+        # the candidates+CRC program alone (the third dispatched stage);
+        # _oh = gather-free one-hot window extraction (round-5)
+        if probe.endswith("_oh"):
+            os.environ["TETRAEAR_CAND_GATHER"] = "onehot"
         from tetraear_tpu.models.multicarrier import _candidates_compiled
-        c = 16 if probe == "cand16" else 96
+        c = 16 if probe.startswith("cand16") else 96
         m = n // decim // sps
         b = 2 * (m - 1)
         bits = jax.device_put(jnp.asarray(
@@ -267,6 +272,74 @@ def _build(probe: str, scale: int):
             return digestc(*cand(bits, corr, count))
         return fn, n
 
+    if probe in ("candtopk96", "candgather96", "candgather96_oh",
+                 "candcrc96"):
+        # extract_candidates stage isolation at the PFB bench shape —
+        # attribution INSIDE the current (hierarchical-topk + vmap
+        # gather + windowed CRC) program, which cand96 measures whole
+        from tetraear_tpu import constants as Cc
+        from tetraear_tpu.ops.crc import soft_crc_check_batch
+        c = 96
+        m = n // decim // sps
+        b = 2 * (m - 1)
+        ncorr = b - 21
+        bits = jax.device_put(jnp.asarray(
+            rng.integers(0, 2, (c, b)).astype(np.uint8)))
+        if probe == "candtopk96":
+            corr = jax.device_put(jnp.asarray(
+                (rng.random((c, ncorr)) * 0.9).astype(np.float32)))
+            count = jax.device_put(jnp.asarray(np.full(c, m, np.int32)))
+
+            @jax.jit
+            def fn_htopk(cc, cnt):
+                valid_bits = jnp.maximum(cnt - 1, 0) * 2
+                pos_idx = jnp.arange(ncorr, dtype=jnp.int32)
+                in_b = ((pos_idx >= Cc.SYNC_TO_FRAME_START_BITS)
+                        & (pos_idx[None, :] - Cc.SYNC_TO_FRAME_START_BITS
+                           + Cc.BITS_PER_SLOT <= valid_bits[..., None]))
+                masked = jnp.where(in_b, cc, -1.0)
+                seg = 128
+                n_seg = -(-ncorr // seg)
+                padded = jnp.pad(masked, ((0, 0),
+                                          (0, n_seg * seg - ncorr)),
+                                 constant_values=-1.0)
+                segs = padded.reshape(c, n_seg, seg)
+                seg_max = segs.max(axis=-1)
+                seg_arg = segs.argmax(axis=-1).astype(jnp.int32)
+                tc, ts_ = jax.lax.top_k(seg_max, 64)
+                tp = ts_ * seg + jnp.take_along_axis(seg_arg, ts_,
+                                                     axis=-1)
+                return jnp.sum(tc) + jnp.sum(tp).astype(jnp.float32)
+            return (lambda: fn_htopk(corr, count)), n
+        start = jax.device_put(jnp.asarray(
+            rng.integers(0, b - 510, (c, 64)).astype(np.int32)))
+        if probe == "candgather96":
+            @jax.jit
+            def fn_vg(bb, st):
+                win = st[..., None] + jnp.arange(Cc.BITS_PER_SLOT)[None, :]
+                win = jnp.minimum(win, b - 1)
+                frames = jax.vmap(lambda row, ww: row[ww])(bb, win)
+                return jnp.sum(frames.astype(jnp.float32))
+            return (lambda: fn_vg(bits, start)), n
+        if probe == "candgather96_oh":
+            from tetraear_tpu.models.multicarrier import _windows_onehot
+
+            @jax.jit
+            def fn_oh(bb, st):
+                return jnp.sum(_windows_onehot(bb, st).astype(jnp.float32))
+            return (lambda: fn_oh(bits, start)), n
+        frames_h = np.asarray(
+            rng.integers(0, 2, (c, 64, Cc.BITS_PER_SLOT))).astype(np.uint8)
+        frames_d = jax.device_put(jnp.asarray(frames_h))
+
+        @jax.jit
+        def fn_wcrc(fr):
+            data = jnp.concatenate(
+                [fr[..., Cc.BURST_BLOCK1[0]:Cc.BURST_BLOCK1[1]],
+                 fr[..., Cc.BURST_BLOCK2[0]:Cc.BURST_BLOCK2[1]]], axis=-1)
+            return jnp.sum(soft_crc_check_batch(data).astype(jnp.float32))
+        return (lambda: fn_wcrc(frames_d)), n
+
     if probe in ("front16_s2d", "front96_s2d"):
         kd = jax.device_put(fused.s2d_kernel(kernel, decim))
 
@@ -278,7 +351,8 @@ def _build(probe: str, scale: int):
                 jnp.float32)
         return (lambda: fn(x, kd)), n
 
-    if probe in ("crc96", "topk96", "wingather96"):
+    if probe in ("crc96", "crc96_of4", "crc96_of4_bf16", "topk96",
+                 "wingather96"):
         # candidates-program sub-stages at PFB scale (96 x bench bits)
         from tetraear_tpu import constants as Cc
         from tetraear_tpu.ops.crc import soft_crc_dense
@@ -289,10 +363,16 @@ def _build(probe: str, scale: int):
             rng.integers(0, 2, (c, b)).astype(np.uint8)))
         corr = jax.device_put(jnp.asarray(
             (rng.random((c, b - 21)) * 0.9).astype(np.float32)))
-        if probe == "crc96":
+        if probe.startswith("crc96"):
+            # _of4[_bf16]: output-folded (132 MXU lanes) / bf16-input
+            # dense CRC — bit-identical, round-5 kernel candidates
+            cfold = 4 if "of4" in probe else 1
+            cbf16 = probe.endswith("bf16")
+
             @jax.jit
             def fn_crc(bb):
-                return jnp.sum(soft_crc_dense(bb).astype(jnp.float32))
+                return jnp.sum(soft_crc_dense(
+                    bb, fold=cfold, bf16=cbf16).astype(jnp.float32))
             return (lambda: fn_crc(bits)), n
         if probe == "topk96":
             @jax.jit
