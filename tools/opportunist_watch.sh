@@ -39,21 +39,19 @@ CAP_S=${OPPWATCH_CAP_S:-23400}
 # whether the 34.8 ms conv floor is fixed-cost or input-linear; pallas*
 # decides the MXU-kernel bet; cand96/tail96 attribute the 96-ch tail gap.
 ITEMS=(
-  "hbm1g|700|python tools/tpu_conv_probe.py --probe hbm1g --iters 6"
-  "pallas16|700|python tools/tpu_conv_probe.py --probe pallas16 --scale 8"
-  "s2d16_sc8|700|python tools/tpu_conv_probe.py --probe s2d16 --scale 8"
-  "s2d16_sc4|700|python tools/tpu_conv_probe.py --probe s2d16 --scale 4"
-  "s2d16_sc2|700|python tools/tpu_conv_probe.py --probe s2d16 --scale 2"
-  "pallas16_of4|700|python tools/tpu_conv_probe.py --probe pallas16_of4 --scale 8"
-  "pallas96|700|python tools/tpu_conv_probe.py --probe pallas96 --scale 8"
-  "cand96|700|python tools/tpu_conv_probe.py --probe cand96 --scale 8"
-  "tail96|700|python tools/tpu_conv_probe.py --probe tail96 --scale 8"
-  "bench_full|1200|BENCH_WINDOW_S=900 python bench.py"
-  "bench_pfb|900|python bench.py --tier pfb"
-  "bench_pfb_b4|900|python bench.py --tier pfb_b4"
-  "bench_pfb_mono|900|BENCH_PFB_VARIANT=s2d_mono python bench.py --tier pfb"
-  "bench_pfb_hb16|900|BENCH_PFB_VARIANT=s2d_hb16 python bench.py --tier pfb"
-  "bench_of|700|python bench.py --tier fused_s2d_of"
+  # ---- r5 phase 2: onehot-candidates pipeline A/Bs (phase-1 results:
+  # cand96_oh 9.6 ms vs 39.8 legacy; conv floor input-linear; true HBM
+  # ~140 GB/s; pallas loses at 16ch).  Same-window pairs matter most.
+  "bench_pfb_oh|900|TETRAEAR_CAND_GATHER=onehot python bench.py --tier pfb"
+  "bench_pfb2|900|python bench.py --tier pfb"
+  "bench_of_oh|700|TETRAEAR_CAND_GATHER=onehot python bench.py --tier fused_s2d_of"
+  "bench_rp_oh|700|TETRAEAR_CAND_GATHER=onehot python bench.py --tier realpair64"
+  "pfb96_s2d|700|python tools/tpu_conv_probe.py --probe pfb96_s2d --scale 8"
+  "cand16|700|python tools/tpu_conv_probe.py --probe cand16 --scale 8"
+  "cand16_oh|700|python tools/tpu_conv_probe.py --probe cand16_oh --scale 8"
+  "bench_pfb_mono_oh|900|TETRAEAR_CAND_GATHER=onehot BENCH_PFB_VARIANT=s2d_mono python bench.py --tier pfb"
+  "bench_pfb_hb16_oh|900|TETRAEAR_CAND_GATHER=onehot BENCH_PFB_VARIANT=s2d_hb16 python bench.py --tier pfb"
+  "hbm128m|700|python tools/tpu_conv_probe.py --probe hbm128m --iters 6"
 )
 N=${#ITEMS[@]}
 
@@ -84,7 +82,8 @@ for attempt in $(seq 1 2000); do
     break
   done
   if [ "$pick" -lt 0 ]; then log "queue drained"; exit 0; fi
-  idx=$(( (pick + 1) % N ))          # advance regardless of outcome
+  # NOTE: the pointer advances only after an actual ATTEMPT (below) —
+  # lock-busy and wedged-pregate cycles must not skip priority items
 
   item="${ITEMS[$pick]}"
   name="${item%%|*}"; rest="${item#*|}"
@@ -111,6 +110,7 @@ for attempt in $(seq 1 2000); do
   fi
   wedged=0
 
+  idx=$(( (pick + 1) % N ))          # attempt happening: advance pointer
   tries=$(cat "$OUT/$name.tries" 2>/dev/null || echo 0)
   tries=$((tries + 1)); echo "$tries" > "$OUT/$name.tries"
   log "attempt $name (try $tries/$MAX_TRIES)"

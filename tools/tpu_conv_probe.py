@@ -35,7 +35,8 @@ import numpy as np  # noqa: E402
 PROBES = ("fused16", "pallas16", "pallas16_db", "pallas16_bf16",
           "pallas16_of4", "pallas16_of4_bf16",
           "pallas96", "pallas96_db", "pallas96_bf16",
-          "s2d16", "s2d16_of4", "s2d16_of8", "s2d16_bf16", "s2d16_k4",
+          "s2d16", "s2d16_nwc", "s2d16_of4", "s2d16_of8", "s2d16_bf16",
+          "s2d16_k4",
           "s2d16_n4", "s2d16_n8", "pfb96", "pfb96_s2d",
           "pfb96_s2d_bf16", "tail16", "tail96", "cand16", "cand96",
           "front16_s2d", "front96_s2d", "split16_s2d", "split16_of4",
@@ -108,6 +109,31 @@ def _build(probe: str, scale: int):
             yr, yi = fused.fused_channelize_s2d_ri(xc, k, gc, L, decim)
             return jnp.sum(yr) + jnp.sum(yi)
         return (lambda: fn(x, kd)), n
+
+    if probe == "s2d16_nwc":
+        # layout experiment: identical s2d conv but with the OUTPUT in
+        # NWC (channels-last) — does the NCW output of _s2d_conv force
+        # a relayout that is part of the 28 ms floor?
+        from jax import lax
+        kd = jax.device_put(fused.s2d_kernel(kernel, decim))
+        lp = int(np.asarray(kd).shape[-1])
+        pad_l = L - 1
+
+        @jax.jit
+        def fn_nwc(xc, k):
+            nn = xc.shape[-1]
+            m_out = -(-nn // decim)
+            total = max((m_out + lp - 1) * decim,
+                        -(-(pad_l + nn) // decim) * decim)
+            xri = jnp.stack([jnp.real(xc), jnp.imag(xc)], axis=-1)
+            xpad = jnp.pad(xri, ((pad_l, total - pad_l - nn), (0, 0)))
+            x2 = xpad.reshape(1, total // decim, 2 * decim)
+            out = lax.conv_general_dilated(
+                x2, k, (1,), ((0, 0),),
+                dimension_numbers=("NWC", "OIW", "NWC"),
+                preferred_element_type=jnp.float32)[0]   # (W, 2C)
+            return jnp.sum(out[:m_out])
+        return (lambda: fn_nwc(x, kd)), n
 
     if probe in ("pallas16", "pallas16_db", "pallas16_bf16",
               "pallas96", "pallas96_db", "pallas96_bf16"):
