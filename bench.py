@@ -135,8 +135,13 @@ def pick_tier(results: list, attempts: dict, custom: tuple | None,
 
 def _pfb_variant() -> str:
     """BENCH_PFB_VARIANT, validated — an unknown value must fail loudly,
-    not silently select the legacy fused path and mislabel the result."""
-    v = os.environ.get("BENCH_PFB_VARIANT", "s2d")
+    not silently select the legacy fused path and mislabel the result.
+    Default pallas_bf16: the round-5 same-window A/B chain (s2d 160.2 →
+    s2d_hb16 170.3 → pallas 176.6 → pallas_bf16 251.7 MS/s,
+    BENCH_EVIDENCE_r5.md — the bf16 2x over pallas-f32 shows the Pallas
+    kernel IS MXU-mapped, unlike the XLA conv); planted-burst decision
+    parity pinned (test_fused_frontend.py)."""
+    v = os.environ.get("BENCH_PFB_VARIANT", "pallas_bf16")
     if v not in _PFB_VARIANTS:
         raise SystemExit(f"[bench] BENCH_PFB_VARIANT={v!r} invalid; "
                          f"choose from {_PFB_VARIANTS}")

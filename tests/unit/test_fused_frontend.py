@@ -662,6 +662,35 @@ class TestPfbHalfHandoff:
             np.testing.assert_array_equal(np.asarray(a.crc_ok)[c][va[c]],
                                           np.asarray(b.crc_ok)[c][vb[c]])
 
+    def test_pallas_bf16_decodes_planted_burst_identically(self):
+        """fused="pallas_bf16" (the round-5 bench default: 251.7 vs
+        160.2 MS/s same-window, BENCH_EVIDENCE_r5.md): bf16 MXU conv
+        must keep planted-burst candidate/CRC decisions identical to
+        the f32 split path, like the hb16 precedent above."""
+        from tetraear_tpu.models.multicarrier import PfbMulticarrierFrontend
+        fs = 2.4e6
+        st = synth.make_stream_bits(num_frames=3, lead_bits=64, seed=11,
+                                    golden=True)
+        ph = synth.synthesize_symbol_phasors(synth.bits_to_symbols(st),
+                                             mapping="ref")
+        iq = synth.upsample_hold(ph, fs, fs / 130.0)
+        t = np.arange(len(iq)) / fs
+        x = (iq * np.exp(2j * np.pi * 50e3 * t)).astype(np.complex64)
+
+        a = PfbMulticarrierFrontend(num_candidates=16, threshold=0.80,
+                                    fused="s2d")(x)
+        b = PfbMulticarrierFrontend(num_candidates=16, threshold=0.80,
+                                    fused="pallas_bf16")(x)
+        va, vb = np.asarray(a.cand_valid), np.asarray(b.cand_valid)
+        hot = np.where(np.asarray(a.crc_ok & a.cand_valid).any(axis=-1))[0]
+        assert hot.size >= 1
+        for c in hot:
+            np.testing.assert_array_equal(va[c], vb[c])
+            np.testing.assert_array_equal(np.asarray(a.cand_pos)[c][va[c]],
+                                          np.asarray(b.cand_pos)[c][vb[c]])
+            np.testing.assert_array_equal(np.asarray(a.crc_ok)[c][va[c]],
+                                          np.asarray(b.crc_ok)[c][vb[c]])
+
     def test_hb16_batched_parity(self):
         from tetraear_tpu.models.multicarrier import PfbMulticarrierFrontend
         rng = np.random.default_rng(6)

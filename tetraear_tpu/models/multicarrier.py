@@ -37,14 +37,17 @@ class MulticarrierResult(NamedTuple):
 
 
 def _window_mode() -> str:
-    """Candidate-window extraction: "vmap" (legacy per-row gather — the
-    r2-r4 verified program) or "onehot" (gather-free tile matmul).
-    Round-5 attribution (tools/tpu_conv_probe.py candgather96): the
-    vmap gather is 39.2 ms of the 39.8 ms 96-channel candidates
-    program on the remote TPU — gathers of any shape are pathological
-    on this backend.  Default flips only after a measured same-window
-    device win (VERDICT r4 #6 discipline)."""
-    v = os.environ.get("TETRAEAR_CAND_GATHER", "vmap")
+    """Candidate-window extraction: "onehot" (gather-free tile matmul,
+    the default) or "vmap" (the r2-r4 per-row gather, kept as a
+    kill-switch).  Round-5 attribution (tools/tpu_conv_probe.py
+    candgather96): the vmap gather was 39.2 ms of the 39.8 ms
+    96-channel candidates program on the remote TPU — gathers of any
+    shape are pathological on this backend.  The one-hot variant is
+    bit-identical (pinned) and measured, same healthy window:
+    cand96 39.8 -> 9.6 ms, cand16 11.8 -> 6.4 ms, full 16-carrier
+    pipeline 221.9 -> 265.0 MS/s, 96-channel PFB 100.6 -> 160.2 MS/s
+    (BENCH_EVIDENCE_r5.md) — hence the default."""
+    v = os.environ.get("TETRAEAR_CAND_GATHER", "onehot")
     if v not in ("vmap", "onehot"):
         raise ValueError(f"TETRAEAR_CAND_GATHER={v!r} invalid")
     return v

@@ -39,19 +39,18 @@ CAP_S=${OPPWATCH_CAP_S:-23400}
 # whether the 34.8 ms conv floor is fixed-cost or input-linear; pallas*
 # decides the MXU-kernel bet; cand96/tail96 attribute the 96-ch tail gap.
 ITEMS=(
-  # ---- r5 phase 2: onehot-candidates pipeline A/Bs (phase-1 results:
-  # cand96_oh 9.6 ms vs 39.8 legacy; conv floor input-linear; true HBM
-  # ~140 GB/s; pallas loses at 16ch).  Same-window pairs matter most.
-  "bench_pfb_oh|900|TETRAEAR_CAND_GATHER=onehot python bench.py --tier pfb"
-  "bench_pfb2|900|python bench.py --tier pfb"
-  "bench_of_oh|700|TETRAEAR_CAND_GATHER=onehot python bench.py --tier fused_s2d_of"
-  "bench_rp_oh|700|TETRAEAR_CAND_GATHER=onehot python bench.py --tier realpair64"
-  "pfb96_s2d|700|python tools/tpu_conv_probe.py --probe pfb96_s2d --scale 8"
-  "cand16|700|python tools/tpu_conv_probe.py --probe cand16 --scale 8"
-  "cand16_oh|700|python tools/tpu_conv_probe.py --probe cand16_oh --scale 8"
-  "bench_pfb_mono_oh|900|TETRAEAR_CAND_GATHER=onehot BENCH_PFB_VARIANT=s2d_mono python bench.py --tier pfb"
-  "bench_pfb_hb16_oh|900|TETRAEAR_CAND_GATHER=onehot BENCH_PFB_VARIANT=s2d_hb16 python bench.py --tier pfb"
-  "hbm128m|700|python tools/tpu_conv_probe.py --probe hbm128m --iters 6"
+  # ---- r5 phase 4: pallas_bf16 won 96ch 251.7 vs 160.2 (bf16 2x =
+  # the Pallas kernel IS MXU-mapped).  Chase the same win at 16ch,
+  # then re-verify the default chain end-to-end.
+  "pallas16_bf16|700|python tools/tpu_conv_probe.py --probe pallas16_bf16 --scale 8"
+  "pallas16_of4_bf16|700|python tools/tpu_conv_probe.py --probe pallas16_of4_bf16 --scale 8"
+  "bench_p16bf|700|python bench.py --tier fused_pallas_bf16"
+  "bench_p16of4bf|700|python bench.py --tier fused_pallas_of4_bf16"
+  "bench_of_ab|700|python bench.py --tier fused_s2d_of"
+  "bench_pfb_pbf2|900|python bench.py --tier pfb"
+  "s2d16_scanmm|700|python tools/tpu_conv_probe.py --probe s2d16_scanmm --scale 8"
+  "s2d16_scanmm_bf16|700|python tools/tpu_conv_probe.py --probe s2d16_scanmm_bf16 --scale 8"
+  "bench_full4|1400|BENCH_WINDOW_S=1100 python bench.py"
 )
 N=${#ITEMS[@]}
 

@@ -35,8 +35,8 @@ import numpy as np  # noqa: E402
 PROBES = ("fused16", "pallas16", "pallas16_db", "pallas16_bf16",
           "pallas16_of4", "pallas16_of4_bf16",
           "pallas96", "pallas96_db", "pallas96_bf16",
-          "s2d16", "s2d16_nwc", "s2d16_of4", "s2d16_of8", "s2d16_bf16",
-          "s2d16_k4",
+          "s2d16", "s2d16_nwc", "s2d16_scanmm", "s2d16_scanmm_bf16",
+          "s2d16_of4", "s2d16_of8", "s2d16_bf16", "s2d16_k4",
           "s2d16_n4", "s2d16_n8", "pfb96", "pfb96_s2d",
           "pfb96_s2d_bf16", "tail16", "tail96", "cand16", "cand96",
           "front16_s2d", "front96_s2d", "split16_s2d", "split16_of4",
@@ -134,6 +134,43 @@ def _build(probe: str, scale: int):
                 preferred_element_type=jnp.float32)[0]   # (W, 2C)
             return jnp.sum(out[:m_out])
         return (lambda: fn_nwc(x, kd)), n
+
+    if probe in ("s2d16_scanmm", "s2d16_scanmm_bf16"):
+        # explicit-GEMM formulation: scan over W-chunks, build the
+        # im2col patch block from Lp STATIC slices (no gather), one
+        # (2C, 2D*Lp) x (2D*Lp, CH) MXU matmul per chunk.  Tests
+        # whether bypassing the backend's conv emitter reaches the MXU
+        # (the XLA conv runs at ~2% MFU and bf16 gives no 2x).
+        from jax import lax
+        kd_np = np.asarray(fused.s2d_kernel(kernel, decim))
+        c2k, ichk, lpk = kd_np.shape
+        mmdt = jnp.bfloat16 if probe.endswith("bf16") else jnp.float32
+        k3 = jax.device_put(jnp.asarray(
+            kd_np.reshape(c2k, ichk * lpk), mmdt))
+        CH = 16384
+
+        @jax.jit
+        def fn_scanmm(xc, kk):
+            nn = xc.shape[-1]
+            m_out = -(-nn // decim)
+            pad_l = L - 1
+            total = max((m_out + lpk - 1) * decim,
+                        -(-(pad_l + nn) // decim) * decim)
+            xri = jnp.stack([jnp.real(xc), jnp.imag(xc)], axis=-1)
+            xpad = jnp.pad(xri, ((pad_l, total - pad_l - nn), (0, 0)))
+            x2 = xpad.reshape(total // decim, 2 * decim).T.astype(mmdt)
+            nch = m_out // CH
+
+            def body(m0):
+                sl = lax.dynamic_slice(
+                    x2, (0, m0), (ichk, CH + lpk - 1))
+                p = jnp.stack([sl[:, a:a + CH] for a in range(lpk)],
+                              axis=1).reshape(ichk * lpk, CH)
+                return jnp.sum(jnp.dot(
+                    kk, p, preferred_element_type=jnp.float32))
+            sums = lax.map(body, jnp.arange(nch, dtype=jnp.int32) * CH)
+            return jnp.sum(sums)
+        return (lambda: fn_scanmm(x, k3)), n
 
     if probe in ("pallas16", "pallas16_db", "pallas16_bf16",
               "pallas96", "pallas96_db", "pallas96_bf16"):
