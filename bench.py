@@ -63,13 +63,17 @@ WINDOW_S = float(os.environ.get("BENCH_WINDOW_S", 1800.0))
 # that opens mid-run (round-3 failure: gave up after one 10-min probe
 # loop and recorded a CPU number while the code was 45% faster on TPU).
 
-# Full-decode 16-carrier tiers, fastest first (BENCH_r02/r03 evidence:
-# fused_s2d_of 159.2→229.8 MS/s).  realpair64 is the backend-robust
-# full decode (no complex transfers; candidates stage dispatched
-# separately); realpair0 (demod+sync, no top_k/gather anywhere) exists
-# for windows where candidate-class ops hang — an accelerator number of
-# reduced scope still beats the CPU floor.
-FULL_DECODE_16C = ("fused_s2d_of", "fused_s2d", "realpair64")
+# Full-decode 16-carrier tiers, fastest first.  Round-5 same-window
+# evidence (BENCH_EVIDENCE_r5.md): fused_pallas_bf16 313.6 MS/s (bf16
+# MXU Pallas conv, 23.4 ms vs the XLA conv's 28.0) > fused_s2d_of
+# 258.1 — the Pallas tier leads; fused_s2d_of stays as the pure-XLA
+# fallback (a Mosaic failure rotates to it within one attempt).
+# realpair64 is the backend-robust full decode (no complex transfers;
+# candidates stage dispatched separately); realpair0 (demod+sync, no
+# top_k/gather anywhere) exists for windows where candidate-class ops
+# hang — an accelerator number of reduced scope still beats the CPU
+# floor.  (fused_s2d pruned from the rotation: always behind _of.)
+FULL_DECODE_16C = ("fused_pallas_bf16", "fused_s2d_of", "realpair64")
 # Every name _run_tier accepts (BENCH_TIERS values; the default chain
 # only cycles FULL_DECODE_16C + pfb + realpair0): fused, complex,
 # fused_s2d, fused_s2d_of, fused_s2d[_of]_b<N>, fused_pallas[...],

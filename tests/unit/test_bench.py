@@ -83,7 +83,7 @@ class TestPickTier:
     def test_default_fastest_first_then_pfb_then_done(self, bench):
         results, attempts = [], {}
         t = bench.pick_tier(results, attempts, None)
-        assert t == "fused_s2d_of"
+        assert t == "fused_pallas_bf16"
         results.append({"ok": True, "tier": t})
         assert bench.pick_tier(results, attempts, None) == "pfb"
         results.append({"ok": True, "tier": "pfb"})
@@ -91,10 +91,10 @@ class TestPickTier:
 
     def test_default_rotates_to_robust_tier_on_failures(self, bench):
         results = []
-        attempts = {"fused_s2d_of": 1}
+        attempts = {"fused_pallas_bf16": 1}
         # one failure: the cheaper-attempts tiers get their turn
         nxt = bench.pick_tier(results, attempts, None)
-        assert nxt in ("fused_s2d", "realpair64")
+        assert nxt in ("fused_s2d_of", "realpair64")
         # all full-decode tiers failed twice -> degraded-class fallback
         attempts = {t: 2 for t in bench.FULL_DECODE_16C}
         assert bench.pick_tier(results, attempts, None) == "realpair0"

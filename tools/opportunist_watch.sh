@@ -39,18 +39,14 @@ CAP_S=${OPPWATCH_CAP_S:-23400}
 # whether the 34.8 ms conv floor is fixed-cost or input-linear; pallas*
 # decides the MXU-kernel bet; cand96/tail96 attribute the 96-ch tail gap.
 ITEMS=(
-  # ---- r5 phase 4: pallas_bf16 won 96ch 251.7 vs 160.2 (bf16 2x =
-  # the Pallas kernel IS MXU-mapped).  Chase the same win at 16ch,
-  # then re-verify the default chain end-to-end.
-  "pallas16_bf16|700|python tools/tpu_conv_probe.py --probe pallas16_bf16 --scale 8"
-  "pallas16_of4_bf16|700|python tools/tpu_conv_probe.py --probe pallas16_of4_bf16 --scale 8"
-  "bench_p16bf|700|python bench.py --tier fused_pallas_bf16"
-  "bench_p16of4bf|700|python bench.py --tier fused_pallas_of4_bf16"
-  "bench_of_ab|700|python bench.py --tier fused_s2d_of"
-  "bench_pfb_pbf2|900|python bench.py --tier pfb"
-  "s2d16_scanmm|700|python tools/tpu_conv_probe.py --probe s2d16_scanmm --scale 8"
-  "s2d16_scanmm_bf16|700|python tools/tpu_conv_probe.py --probe s2d16_scanmm_bf16 --scale 8"
-  "bench_full4|1400|BENCH_WINDOW_S=1100 python bench.py"
+  # ---- r5 phase 5: default chain now leads with fused_pallas_bf16
+  # (313.6 MS/s measured) — re-verify the driver-identical run on the
+  # promoted chain, plus stability re-runs across windows.
+  "bench_full5|1400|BENCH_WINDOW_S=1100 python bench.py"
+  "bench_p16bf2|700|python bench.py --tier fused_pallas_bf16"
+  "bench_pfb_pbf3|900|python bench.py --tier pfb"
+  "bench_p16bf3|700|python bench.py --tier fused_pallas_bf16"
+  "bench_full6|1400|BENCH_WINDOW_S=1100 python bench.py"
 )
 N=${#ITEMS[@]}
 
