@@ -96,6 +96,26 @@ class TestPallasS2dConv:
     def test_matches_xla_s2d(self, rng):
         self._check(rng, 40_000)
 
+    def test_direct_tap_variant_matches(self, rng):
+        """'dt' (per-tap matmuls, zero patch copies) == the XLA s2d
+        conv at f32 accumulation-order tolerance; 'dt_bf16' at bf16
+        tolerance."""
+        from tetraear_tpu.ops import fused
+        from tetraear_tpu.ops.pallas.s2d_conv import pallas_s2d_conv
+        ks, gc, L, decim = self._kernel(16)
+        r = np.random.default_rng(0xD7)
+        n = 40_000
+        x = (r.standard_normal(n) + 1j * r.standard_normal(n)
+             ).astype(np.complex64) * 0.1
+        want = np.asarray(fused._s2d_conv(jnp.asarray(x), ks, gc, L,
+                                          decim))
+        got = np.asarray(pallas_s2d_conv(jnp.asarray(x), ks, gc, L,
+                                         decim, variant="dt"))
+        assert np.abs(got - want).max() < 4e-6 * np.abs(want).max()
+        gotb = np.asarray(pallas_s2d_conv(jnp.asarray(x), ks, gc, L,
+                                          decim, variant="dt_bf16"))
+        assert np.abs(gotb - want).max() < 4e-3 * np.abs(want).max()
+
     def test_ragged_lengths(self, rng):
         """n not a multiple of decim or of the tile extent."""
         for n in (40_000 + 7, 40_000 + 10, 12_345):

@@ -47,20 +47,35 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_W = 512          # output positions per grid step
+TILE_W = 2048         # default output positions per grid step (round-5
+                      # device sweep: 23.77/23.04/22.34/22.31 ms at
+                      # 512/1024/2048/4096 — identical digests; 2048
+                      # takes the amortization win at 1/2 the VMEM of
+                      # 4096; full tier 315->335 MS/s)
 BLK = 24              # sublane block per tap (multiple of 8; >= 2D)
 TPG = 128 // BLK      # taps per 128-lane group (5 for BLK=24)
 SUBLANES = 32         # DMA window sublane count (power of two)
 
 
+def _tile_w() -> int:
+    """Grid tile width (output positions per step).  Env-overridable
+    for device sweeps: the per-tile costs that do NOT scale with the
+    tile (DMA start/wait latency, grid step, patch-copy issue
+    overhead) are paid num_tiles times, so larger tiles amortize them
+    — bounded by VMEM (window + patch + accumulator ~ a few hundred KB
+    at 2048)."""
+    import os
+    return int(os.environ.get("TETRAEAR_PALLAS_TILE_W", TILE_W))
+
+
 def _kernel(x_hbm, wk_ref, out_ref, *, g_groups: int, win: int, c2: int,
             dtype=jnp.float32, blk: int = BLK, tpg: int = TPG,
-            sub: int = SUBLANES):
+            sub: int = SUBLANES, tile_w: int = TILE_W):
     i = pl.program_id(0)
 
     def body(xw, pg, sem):
         copy = pltpu.make_async_copy(
-            x_hbm.at[:, pl.ds(i * TILE_W, win)], xw, sem)
+            x_hbm.at[:, pl.ds(i * tile_w, win)], xw, sem)
         copy.start()
         copy.wait()
 
@@ -68,16 +83,16 @@ def _kernel(x_hbm, wk_ref, out_ref, *, g_groups: int, win: int, c2: int,
         # zero them once so 0-weight columns never meet garbage VMEM
         # (0 * NaN would poison the accumulator)
         if blk * tpg < 128:
-            pg[blk * tpg:128, :] = jnp.zeros((128 - blk * tpg, TILE_W),
+            pg[blk * tpg:128, :] = jnp.zeros((128 - blk * tpg, tile_w),
                                              dtype)
-        acc = jnp.zeros((c2, TILE_W), jnp.float32)
+        acc = jnp.zeros((c2, tile_w), jnp.float32)
         for g in range(g_groups):
             # patch rows a*blk..a*blk+blk = input rows 0..blk at lane
             # shift g*tpg + a (rows >= ich are zero padding; the matching
             # weight columns are zero, so they contribute nothing)
             for a in range(tpg):
                 off = g * tpg + a
-                pg[a * blk:(a + 1) * blk, :] = xw[0:blk, off:off + TILE_W]
+                pg[a * blk:(a + 1) * blk, :] = xw[0:blk, off:off + tile_w]
             acc = acc + jax.lax.dot_general(
                 wk_ref[g], pg[...], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
@@ -85,8 +100,62 @@ def _kernel(x_hbm, wk_ref, out_ref, *, g_groups: int, win: int, c2: int,
 
     pl.run_scoped(body,
                   pltpu.VMEM((sub, win), dtype),
-                  pltpu.VMEM((128, TILE_W), dtype),
+                  pltpu.VMEM((128, tile_w), dtype),
                   pltpu.SemaphoreType.DMA(()))
+
+
+def _kernel_direct(x_hbm, wk_ref, out_ref, *, lp: int, win: int, c2: int,
+                   ich: int, dtype, sub: int, tile_w: int):
+    """Per-tap matmul variant: NO patch scratch, no lane-shifted VMEM
+    copies — each tap contributes a (c2, ich) x (ich, tile_w) matmul
+    whose RHS is a lane-offset slice of the DMA'd window, read directly
+    as an MXU operand.  Trades 128-lane contraction efficiency
+    (ich=20 of 128) for zero VPU shuffle work; which side wins is a
+    device measurement (pallas16_dt probes)."""
+    i = pl.program_id(0)
+
+    def body(xw, sem):
+        copy = pltpu.make_async_copy(
+            x_hbm.at[:, pl.ds(i * tile_w, win)], xw, sem)
+        copy.start()
+        copy.wait()
+        acc = jnp.zeros((c2, tile_w), jnp.float32)
+        for t in range(lp):
+            acc = acc + jax.lax.dot_general(
+                wk_ref[t], xw[0:ich, t:t + tile_w],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        out_ref[...] = acc
+
+    pl.run_scoped(body,
+                  pltpu.VMEM((sub, win), dtype),
+                  pltpu.SemaphoreType.DMA(()))
+
+
+@functools.partial(jax.jit, static_argnames=("lp", "win", "c2", "ich",
+                                             "num_tiles", "interpret",
+                                             "bf16", "sub", "tile_w"))
+def _run_direct(x2t, wkd, *, lp: int, win: int, c2: int, ich: int,
+                num_tiles: int, interpret: bool, bf16: bool,
+                sub: int = SUBLANES, tile_w: int = TILE_W):
+    dtype = jnp.bfloat16 if bf16 else jnp.float32
+    if bf16:
+        x2t = x2t.astype(dtype)
+        wkd = wkd.astype(dtype)
+    kern = functools.partial(_kernel_direct, lp=lp, win=win, c2=c2,
+                             ich=ich, dtype=dtype, sub=sub, tile_w=tile_w)
+    return pl.pallas_call(
+        kern,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),             # x2t in HBM
+            pl.BlockSpec((lp, c2, ich), lambda i: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((c2, tile_w), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((c2, num_tiles * tile_w),
+                                       jnp.float32),
+        interpret=interpret,
+    )(x2t, wkd)
 
 
 def _kernel_db(xa_ref, xb_ref, wk_ref, out_ref, pg, *, g_groups: int,
@@ -149,16 +218,18 @@ def _group_weights(k2: np.ndarray, decim: int) -> np.ndarray:
 
 @functools.partial(jax.jit, static_argnames=("g_groups", "win", "c2",
                                              "num_tiles", "interpret",
-                                             "bf16", "blk", "tpg", "sub"))
+                                             "bf16", "blk", "tpg", "sub",
+                                             "tile_w"))
 def _run(x2t, wk, *, g_groups: int, win: int, c2: int, num_tiles: int,
          interpret: bool, bf16: bool = False, blk: int = BLK,
-         tpg: int = TPG, sub: int = SUBLANES):
+         tpg: int = TPG, sub: int = SUBLANES, tile_w: int = TILE_W):
     dtype = jnp.bfloat16 if bf16 else jnp.float32
     if bf16:
         x2t = x2t.astype(dtype)
         wk = wk.astype(dtype)
     kern = functools.partial(_kernel, g_groups=g_groups, win=win, c2=c2,
-                             dtype=dtype, blk=blk, tpg=tpg, sub=sub)
+                             dtype=dtype, blk=blk, tpg=tpg, sub=sub,
+                             tile_w=tile_w)
     return pl.pallas_call(
         kern,
         grid=(num_tiles,),
@@ -166,8 +237,8 @@ def _run(x2t, wk, *, g_groups: int, win: int, c2: int, num_tiles: int,
             pl.BlockSpec(memory_space=pl.ANY),             # x2t in HBM
             pl.BlockSpec((g_groups, c2, 128), lambda i: (0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((c2, TILE_W), lambda i: (0, i)),
-        out_shape=jax.ShapeDtypeStruct((c2, num_tiles * TILE_W),
+        out_specs=pl.BlockSpec((c2, tile_w), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((c2, num_tiles * tile_w),
                                        jnp.float32),
         interpret=interpret,
     )(x2t, wk)
@@ -190,14 +261,15 @@ def pallas_s2d_conv_wk(x: jnp.ndarray, wk: jnp.ndarray, gc: int, L: int,
     m_out = -(-n // decim)
     pad_l = L - 1 - gc
 
-    num_tiles = -(-m_out // TILE_W)
+    tile_w = TILE_W if variant == "db" else _tile_w()
+    num_tiles = -(-m_out // tile_w)
     g_groups = -(-lp // TPG)
-    raw_win = TILE_W + g_groups * TPG - 1
+    raw_win = tile_w + g_groups * TPG - 1
     win = -(-raw_win // 128) * 128
 
-    # lanes the last tile reads: (num_tiles-1)*TILE_W + win for the DMA
+    # lanes the last tile reads: (num_tiles-1)*tile_w + win for the DMA
     # variant; the db variant reads block num_tiles (one tile past)
-    w_pad = max((num_tiles - 1) * TILE_W + win, (num_tiles + 1) * TILE_W)
+    w_pad = max((num_tiles - 1) * tile_w + win, (num_tiles + 1) * tile_w)
     total = w_pad * decim
     xri = jnp.stack([jnp.real(x), jnp.imag(x)], axis=-1)      # (N, 2)
     xpad = jnp.pad(xri, ((pad_l, total - pad_l - n), (0, 0)))
@@ -211,7 +283,36 @@ def pallas_s2d_conv_wk(x: jnp.ndarray, wk: jnp.ndarray, gc: int, L: int,
     else:
         out = _run(x2t, wk, g_groups=g_groups, win=win, c2=c2,
                    num_tiles=num_tiles, interpret=interpret,
-                   bf16=(variant == "bf16"))
+                   bf16=(variant == "bf16"), tile_w=tile_w)
+    return out[:, :m_out]
+
+
+def pallas_s2d_conv_dt_wk(x: jnp.ndarray, wkd: jnp.ndarray, gc: int,
+                          L: int, decim: int, ich: int, lp: int,
+                          bf16: bool = False) -> jnp.ndarray:
+    """Direct-tap traceable core: x (N,) complex64 + per-tap weights
+    wkd (Lp, C2, ich) = k2.transpose(2, 0, 1) -> (C2, m_out) f32.
+    See _kernel_direct."""
+    c2 = wkd.shape[1]
+    n = x.shape[-1]
+    m_out = -(-n // decim)
+    pad_l = L - 1 - gc
+
+    tile_w = _tile_w()
+    num_tiles = -(-m_out // tile_w)
+    raw_win = tile_w + lp - 1
+    win = -(-raw_win // 128) * 128
+    w_pad = (num_tiles - 1) * tile_w + win
+    total = w_pad * decim
+    xri = jnp.stack([jnp.real(x), jnp.imag(x)], axis=-1)      # (N, 2)
+    xpad = jnp.pad(xri, ((pad_l, total - pad_l - n), (0, 0)))
+    x2 = xpad.reshape(w_pad, 2 * decim)                       # free reshape
+    x2t = jnp.pad(x2.T, ((0, SUBLANES - ich), (0, 0)))        # (32, W)
+
+    interpret = jax.default_backend() != "tpu"
+    out = _run_direct(x2t, wkd, lp=lp, win=win, c2=c2, ich=ich,
+                      num_tiles=num_tiles, interpret=interpret,
+                      bf16=bf16, tile_w=tile_w)
     return out[:, :m_out]
 
 
@@ -285,11 +386,12 @@ def pallas_s2d_conv_of_wk(x: jnp.ndarray, wk: jnp.ndarray, gc: int,
     tpg = 128 // blk
     sub = max(32, 1 << (blk - 1).bit_length())           # pow2 >= blk
     g_groups = -(-lp_of // tpg)
-    num_tiles = -(-wr // TILE_W)
-    raw_win = TILE_W + g_groups * tpg - 1
+    tile_w = _tile_w()
+    num_tiles = -(-wr // tile_w)
+    raw_win = tile_w + g_groups * tpg - 1
     win = -(-raw_win // 128) * 128
 
-    w_pad = (num_tiles - 1) * TILE_W + win               # X2f rows read
+    w_pad = (num_tiles - 1) * tile_w + win               # X2f rows read
     total = w_pad * fold * decim
     xri = jnp.stack([jnp.real(x), jnp.imag(x)], axis=-1)      # (N, 2)
     xpad = jnp.pad(xri, ((pad_l, total - pad_l - n), (0, 0)))
@@ -299,7 +401,7 @@ def pallas_s2d_conv_of_wk(x: jnp.ndarray, wk: jnp.ndarray, gc: int,
     interpret = jax.default_backend() != "tpu"
     out = _run(x2t, wk, g_groups=g_groups, win=win, c2=c2f,
                num_tiles=num_tiles, interpret=interpret, bf16=bf16,
-               blk=blk, tpg=tpg, sub=sub)
+               blk=blk, tpg=tpg, sub=sub, tile_w=tile_w)
     # un-fold: (C2*F, wr) -> (C2, wr*F); rows c*F+r hold position w*F+r
     out = out[:, :wr].reshape(c2, fold, wr).transpose(0, 2, 1)
     return out.reshape(c2, wr * fold)[:, :m_out]
@@ -317,6 +419,10 @@ def pallas_s2d_conv(x: jnp.ndarray, kernel_s2d, gc: int, L: int,
         fold = int(variant.split("_")[0][2:])
         wk = jnp.asarray(of_group_weights(k2, decim, fold))
         return pallas_s2d_conv_of_wk(x, wk, gc, L, decim, fold, ich, lp,
+                                     bf16=variant.endswith("bf16"))
+    if variant.startswith("dt"):
+        wkd = jnp.asarray(np.ascontiguousarray(k2.transpose(2, 0, 1)))
+        return pallas_s2d_conv_dt_wk(x, wkd, gc, L, decim, ich, lp,
                                      bf16=variant.endswith("bf16"))
     assert ich <= BLK, (ich, decim)
     wk = jnp.asarray(_group_weights(k2, decim))

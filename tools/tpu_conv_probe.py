@@ -33,6 +33,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 import numpy as np  # noqa: E402
 
 PROBES = ("fused16", "pallas16", "pallas16_db", "pallas16_bf16",
+          "pallas16_dt", "pallas16_dt_bf16",
           "pallas16_of4", "pallas16_of4_bf16",
           "pallas96", "pallas96_db", "pallas96_bf16",
           "s2d16", "s2d16_nwc", "s2d16_scanmm", "s2d16_scanmm_bf16",
@@ -171,6 +172,23 @@ def _build(probe: str, scale: int):
             sums = lax.map(body, jnp.arange(nch, dtype=jnp.int32) * CH)
             return jnp.sum(sums)
         return (lambda: fn_scanmm(x, k3)), n
+
+    if probe in ("pallas16_dt", "pallas16_dt_bf16"):
+        # direct-tap Pallas conv: per-tap matmuls straight off the DMA
+        # window, zero patch copies (ops/pallas/s2d_conv._kernel_direct)
+        from tetraear_tpu.ops.pallas import s2d_conv as psc
+        k2 = np.asarray(fused.s2d_kernel(kernel, decim))
+        _c2d, ichd, lpd = k2.shape
+        wkdd = jax.device_put(jnp.asarray(
+            np.ascontiguousarray(k2.transpose(2, 0, 1))))
+        dtb = probe.endswith("bf16")
+
+        @jax.jit
+        def fn_dt(xc, wk):
+            out = psc.pallas_s2d_conv_dt_wk(xc, wk, gc, L, decim, ichd,
+                                            lpd, bf16=dtb)
+            return jnp.sum(out)
+        return (lambda: fn_dt(x, wkdd)), n
 
     if probe in ("pallas16", "pallas16_db", "pallas16_bf16",
               "pallas96", "pallas96_db", "pallas96_bf16"):
