@@ -684,15 +684,18 @@ def _decode_multicarrier(args, source) -> int:
     # chains on CPU where the dense kernel's extra FLOPs would lose.
     import jax
     accel = jax.default_backend() != "cpu"
+    conv = getattr(args, "conv", "auto")
     if getattr(args, "pfb", False):
         # full-band polyphase filterbank: every 25 kHz channel at once
         from tetraear_tpu.models.multicarrier import PfbMulticarrierFrontend
-        pfb_fe = PfbMulticarrierFrontend(fused=accel)
+        fused = ("s2d" if conv == "auto" else conv) if accel else False
+        pfb_fe = PfbMulticarrierFrontend(fused=fused)
         args.carriers = pfb_fe.num_channels
         offsets = pfb_fe.channel_offsets_hz()
         mc = lambda samples, offs, start_index=0: pfb_fe(samples)  # noqa: E731
     else:
-        mc = MulticarrierFrontend(fused="s2d" if accel else False)
+        fused = ("s2d" if conv == "auto" else conv) if accel else False
+        mc = MulticarrierFrontend(fused=fused)
         offsets = carrier_grid(args.carriers)
     dec = MulticarrierDecoder(args.carriers, auto_decrypt=args.auto_decrypt)
     out_path = args.out_jsonl or (str(Path(args.iq_file).with_suffix(""))
@@ -1104,6 +1107,15 @@ def main(argv=None) -> int:
                           help="decode N carriers channelized from the "
                                "wideband input (25 kHz grid) instead of the "
                                "single-channel path")
+    p_decode.add_argument(
+        "--conv", type=str, default="auto",
+        choices=("auto", "s2d", "s2d_of", "s2d_mono", "s2d_hb16",
+                 "pallas", "pallas_bf16"),
+        help="multicarrier/PFB conv variant: auto = s2d on accelerators"
+             " (robust, bit-stable), staged on CPU.  pallas_bf16 is the"
+             " measured-fastest on TPU (BENCH_EVIDENCE_r5.md: 335 MS/s"
+             " 16-carrier, 257 MS/s full band; decisions parity-pinned,"
+             " noise-marginal bits may differ from s2d)")
     p_decode.add_argument("--pfb", action="store_true",
                           help="(with --carriers) polyphase filterbank: "
                                "decode EVERY 25 kHz channel in the band "
