@@ -662,11 +662,13 @@ class TestPfbHalfHandoff:
             np.testing.assert_array_equal(np.asarray(a.crc_ok)[c][va[c]],
                                           np.asarray(b.crc_ok)[c][vb[c]])
 
-    def test_pallas_bf16_decodes_planted_burst_identically(self):
+    @pytest.mark.parametrize("variant", ["pallas_bf16", "pallas_hb16"])
+    def test_pallas_bf16_decodes_planted_burst_identically(self, variant):
         """fused="pallas_bf16" (the round-5 bench default: 251.7 vs
-        160.2 MS/s same-window, BENCH_EVIDENCE_r5.md): bf16 MXU conv
-        must keep planted-burst candidate/CRC decisions identical to
-        the f32 split path, like the hb16 precedent above."""
+        160.2 MS/s same-window, BENCH_EVIDENCE_r5.md) and its
+        bf16-handoff sibling: bf16 MXU conv must keep planted-burst
+        candidate/CRC decisions identical to the f32 split path, like
+        the hb16 precedent above."""
         from tetraear_tpu.models.multicarrier import PfbMulticarrierFrontend
         fs = 2.4e6
         st = synth.make_stream_bits(num_frames=3, lead_bits=64, seed=11,
@@ -680,7 +682,7 @@ class TestPfbHalfHandoff:
         a = PfbMulticarrierFrontend(num_candidates=16, threshold=0.80,
                                     fused="s2d")(x)
         b = PfbMulticarrierFrontend(num_candidates=16, threshold=0.80,
-                                    fused="pallas_bf16")(x)
+                                    fused=variant)(x)
         va, vb = np.asarray(a.cand_valid), np.asarray(b.cand_valid)
         hot = np.where(np.asarray(a.crc_ok & a.cand_valid).any(axis=-1))[0]
         assert hot.size >= 1

@@ -584,15 +584,15 @@ class PfbMulticarrierFrontend:
 
         if self.fused:
             if isinstance(self.fused, str) and self.fused not in (
-                    "pallas", "pallas_db", "pallas_bf16", "s2d",
-                    "s2d_mono", "s2d_hb16"):
+                    "pallas", "pallas_db", "pallas_bf16", "pallas_hb16",
+                    "s2d", "s2d_mono", "s2d_hb16"):
                 # fail loudly: an unknown variant string must not silently
                 # fall through to the legacy fused_channelize_ri path and
                 # get measured/labeled as the variant that never ran
                 raise ValueError(
                     f"unknown PFB fused variant {self.fused!r}; valid: "
                     "s2d, s2d_mono, s2d_hb16, pallas, pallas_db, "
-                    "pallas_bf16, True")
+                    "pallas_bf16, pallas_hb16, True")
             from tetraear_tpu.ops import fused
             from tetraear_tpu.models.realpair import _demod_from_pair
             kernel, gc, rot = fused.pfb_kernel(
@@ -601,10 +601,15 @@ class PfbMulticarrierFrontend:
             sps = cfg.ref_samples_per_symbol
             z_rot = fused.symbol_rotation(rot_np, decim, sps)
 
-            if self.fused in ("pallas", "pallas_db", "pallas_bf16"):
+            if self.fused in ("pallas", "pallas_db", "pallas_bf16",
+                              "pallas_hb16"):
                 # MXU-mapped Pallas conv stage (ops/pallas/s2d_conv.py)
                 # in the split-dispatch arrangement; see
-                # MulticarrierFrontend for the 16-carrier twin
+                # MulticarrierFrontend for the 16-carrier twin.
+                # pallas_hb16 = bf16 conv AND bf16 conv->tail handoff
+                # (the s2d_hb16 trick on top: the (2, 192, 832k) f32
+                # pair is 638 MB across the serializing program
+                # boundary — bf16 halves it)
                 from tetraear_tpu.ops.pallas.s2d_conv import (
                     _group_weights, pallas_s2d_conv_wk)
                 L = kernel.shape[-1]
@@ -612,8 +617,12 @@ class PfbMulticarrierFrontend:
                 _c2p, ich, lp = k2.shape
                 kernel_dev = jax.device_put(
                     jnp.asarray(_group_weights(k2, decim)))
-                pvariant = {"pallas_db": "db",
-                            "pallas_bf16": "bf16"}.get(self.fused, "dma")
+                # pallas_hb16 -> "bf16h": the kernel WRITES bf16 (half
+                # the handoff bytes with no extra cast pass; a separate
+                # astype after the kernel measured a regression, 221.9
+                # vs 256.0 MS/s)
+                pvariant = {"pallas_db": "db", "pallas_bf16": "bf16",
+                            "pallas_hb16": "bf16h"}.get(self.fused, "dma")
 
                 @jax.jit
                 def conv_prog_p(x, kern):
@@ -624,7 +633,9 @@ class PfbMulticarrierFrontend:
 
                 @jax.jit
                 def tail_prog_p(yr, yi):
-                    res = _demod_from_pair(yr, yi, sps, z_rot=z_rot)
+                    res = _demod_from_pair(yr.astype(jnp.float32),
+                                           yi.astype(jnp.float32),
+                                           sps, z_rot=z_rot)
                     return res.bits, res.sync_corr, res.count
 
                 def front_pallas(x):

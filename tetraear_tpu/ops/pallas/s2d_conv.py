@@ -71,6 +71,7 @@ def _tile_w() -> int:
 def _kernel(x_hbm, wk_ref, out_ref, *, g_groups: int, win: int, c2: int,
             dtype=jnp.float32, blk: int = BLK, tpg: int = TPG,
             sub: int = SUBLANES, tile_w: int = TILE_W):
+    out_dtype = out_ref.dtype
     i = pl.program_id(0)
 
     def body(xw, pg, sem):
@@ -96,7 +97,7 @@ def _kernel(x_hbm, wk_ref, out_ref, *, g_groups: int, win: int, c2: int,
             acc = acc + jax.lax.dot_general(
                 wk_ref[g], pg[...], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-        out_ref[...] = acc
+        out_ref[...] = acc.astype(out_dtype)
 
     pl.run_scoped(body,
                   pltpu.VMEM((sub, win), dtype),
@@ -219,10 +220,11 @@ def _group_weights(k2: np.ndarray, decim: int) -> np.ndarray:
 @functools.partial(jax.jit, static_argnames=("g_groups", "win", "c2",
                                              "num_tiles", "interpret",
                                              "bf16", "blk", "tpg", "sub",
-                                             "tile_w"))
+                                             "tile_w", "out_bf16"))
 def _run(x2t, wk, *, g_groups: int, win: int, c2: int, num_tiles: int,
          interpret: bool, bf16: bool = False, blk: int = BLK,
-         tpg: int = TPG, sub: int = SUBLANES, tile_w: int = TILE_W):
+         tpg: int = TPG, sub: int = SUBLANES, tile_w: int = TILE_W,
+         out_bf16: bool = False):
     dtype = jnp.bfloat16 if bf16 else jnp.float32
     if bf16:
         x2t = x2t.astype(dtype)
@@ -230,6 +232,7 @@ def _run(x2t, wk, *, g_groups: int, win: int, c2: int, num_tiles: int,
     kern = functools.partial(_kernel, g_groups=g_groups, win=win, c2=c2,
                              dtype=dtype, blk=blk, tpg=tpg, sub=sub,
                              tile_w=tile_w)
+    out_dt = jnp.bfloat16 if out_bf16 else jnp.float32
     return pl.pallas_call(
         kern,
         grid=(num_tiles,),
@@ -239,7 +242,7 @@ def _run(x2t, wk, *, g_groups: int, win: int, c2: int, num_tiles: int,
         ],
         out_specs=pl.BlockSpec((c2, tile_w), lambda i: (0, i)),
         out_shape=jax.ShapeDtypeStruct((c2, num_tiles * tile_w),
-                                       jnp.float32),
+                                       out_dt),
         interpret=interpret,
     )(x2t, wk)
 
@@ -283,7 +286,8 @@ def pallas_s2d_conv_wk(x: jnp.ndarray, wk: jnp.ndarray, gc: int, L: int,
     else:
         out = _run(x2t, wk, g_groups=g_groups, win=win, c2=c2,
                    num_tiles=num_tiles, interpret=interpret,
-                   bf16=(variant == "bf16"), tile_w=tile_w)
+                   bf16=(variant in ("bf16", "bf16h")),
+                   out_bf16=(variant == "bf16h"), tile_w=tile_w)
     return out[:, :m_out]
 
 

@@ -39,14 +39,11 @@ CAP_S=${OPPWATCH_CAP_S:-23400}
 # whether the 34.8 ms conv floor is fixed-cost or input-linear; pallas*
 # decides the MXU-kernel bet; cand96/tail96 attribute the 96-ch tail gap.
 ITEMS=(
-  # ---- r5 phase 7: direct-tap kernel variant (zero patch copies) vs
-  # the patch-group kernel, at the new TILE_W=2048 default; then
-  # re-verify the default chain end-to-end.
-  "p16dtbf|700|python tools/tpu_conv_probe.py --probe pallas16_dt_bf16 --scale 8"
-  "p16dt|700|python tools/tpu_conv_probe.py --probe pallas16_dt --scale 8"
-  "pbf_base|700|python tools/tpu_conv_probe.py --probe pallas16_bf16 --scale 8"
-  "bench_full7|1400|BENCH_WINDOW_S=1100 python bench.py"
-  "bench_pfb_final|900|python bench.py --tier pfb"
+  # ---- r5 phase 9: pallas_hb16 now writes bf16 IN-KERNEL (the
+  # post-kernel astype cost a full 638 MB pass and regressed to 221.9)
+  "bench_pfb_phb16k|900|BENCH_PFB_VARIANT=pallas_hb16 python bench.py --tier pfb"
+  "bench_pfb_pbf_ab2|900|python bench.py --tier pfb"
+  "bench_pfb_phb16k_2|900|BENCH_PFB_VARIANT=pallas_hb16 python bench.py --tier pfb"
 )
 N=${#ITEMS[@]}
 
