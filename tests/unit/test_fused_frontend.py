@@ -413,8 +413,8 @@ class TestSpaceToDepth:
         t = np.arange(len(iq)) / fs
         x = (iq * np.exp(2j * np.pi * 25e3 * t)).astype(np.complex64)
         offs = np.array([25e3, 0.0], np.float32)
-        for variant in ("pallas", "pallas_bf16", "pallas_of4",
-                        "pallas_of4_bf16"):
+        for variant in ("pallas", "pallas_bf16", "pallas_hb16",
+                        "pallas_of4", "pallas_of4_bf16"):
             mc = MulticarrierFrontend(fused=variant)
             frames = MulticarrierDecoder(2, auto_decrypt=False).decode(
                 mc(x, offs))[0]

@@ -386,21 +386,25 @@ class MulticarrierFrontend:
                 # MXU-mapped Pallas conv stage (ops/pallas/s2d_conv.py):
                 # same contraction as the s2d conv, stated as explicit
                 # matmuls; interpret-mode off-TPU
-                if self.fused not in ("pallas", "pallas_db", "pallas_bf16"):
+                if self.fused not in ("pallas", "pallas_db",
+                                      "pallas_bf16", "pallas_hb16"):
                     # fail loudly: a typo'd variant must not silently run
                     # (and get measured/labeled as) a different kernel
                     raise ValueError(
                         f"unknown pallas conv variant {self.fused!r}; "
                         "valid: pallas, pallas_db, pallas_bf16, "
-                        "pallas_of<N>[_bf16]")
+                        "pallas_hb16, pallas_of<N>[_bf16]")
                 from tetraear_tpu.ops.pallas.s2d_conv import (
                     _group_weights, pallas_s2d_conv_wk)
                 k2 = np.asarray(fused.s2d_kernel(kernel, decim))
                 _c2p, ich, lp = k2.shape
                 kernel_dev = jax.device_put(
                     jnp.asarray(_group_weights(k2, decim)))
-                pvariant = {"pallas_db": "db",
-                            "pallas_bf16": "bf16"}.get(self.fused, "dma")
+                # _hb16: in-kernel bf16 output — halves the conv->tail
+                # handoff bytes (see the PFB twin)
+                pvariant = {"pallas_db": "db", "pallas_bf16": "bf16",
+                            "pallas_hb16": "bf16h"}.get(self.fused,
+                                                        "dma")
 
                 @jax.jit
                 def conv_prog(x, kern):
@@ -418,7 +422,9 @@ class MulticarrierFrontend:
 
             @jax.jit
             def tail_prog(yr, yi):
-                res = _demod_from_pair(yr, yi, sps, z_rot=z_rot)
+                res = _demod_from_pair(yr.astype(jnp.float32),
+                                       yi.astype(jnp.float32),
+                                       sps, z_rot=z_rot)
                 return res.bits, res.sync_corr, res.count
 
             def front(x, kern, start_index):

@@ -39,11 +39,11 @@ CAP_S=${OPPWATCH_CAP_S:-23400}
 # whether the 34.8 ms conv floor is fixed-cost or input-linear; pallas*
 # decides the MXU-kernel bet; cand96/tail96 attribute the 96-ch tail gap.
 ITEMS=(
-  # ---- r5 phase 9: pallas_hb16 now writes bf16 IN-KERNEL (the
-  # post-kernel astype cost a full 638 MB pass and regressed to 221.9)
-  "bench_pfb_phb16k|900|BENCH_PFB_VARIANT=pallas_hb16 python bench.py --tier pfb"
-  "bench_pfb_pbf_ab2|900|python bench.py --tier pfb"
-  "bench_pfb_phb16k_2|900|BENCH_PFB_VARIANT=pallas_hb16 python bench.py --tier pfb"
+  # ---- r5 phase 10: re-verify the default chain after the kernel
+  # signature edits (out_bf16 plumbing; f32 default path should be
+  # HLO-identical), plus one 16c hb16 data point for completeness
+  "bench_full8|1400|BENCH_WINDOW_S=1100 python bench.py"
+  "bench_p16hb16|700|python bench.py --tier fused_pallas_hb16"
 )
 N=${#ITEMS[@]}
 
