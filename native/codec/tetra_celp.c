@@ -27,7 +27,7 @@
 
 #include <math.h>
 #include <string.h>
-#ifdef GAIN_STATS
+#if defined(GAIN_STATS) || defined(LSF_STATS)
 #include <stdio.h>
 #endif
 
@@ -64,12 +64,28 @@ static const int SF_PITCH_BITS[SUBFRAMES] = {8, 5, 8, 5};
  * step (rad); steps sized so +/-([levels/2]) spans the MA-prediction
  * residual range.  Step scale swept (x0.6..x1.25): x0.8 of the original
  * sizing measured best (8.22 vs 7.99 dB segSNR, 3-seed stream mean) */
+/* NOTE (round-5 sweep): -DLSF_STATS measures large systematic bias
+ * here (several coefficients saturate their quantizer every frame on
+ * the test corpus), but re-centering LSF_MEAN to the measured means
+ * was a NON-win (streaming +0.1 dB, per-block-context -0.4 dB): the
+ * MA prediction loop self-corrects the bias within ~2 frames
+ * (steady-state lsf_q -> mean + (levels/2)*step/(1-LSF_PRED)) and the
+ * analysis-by-synthesis excitation search absorbs the residual
+ * spectral error.  Kept as-is; hooks below for future sweeps. */
+#ifdef LSF_MEAN_OVERRIDE               /* tuning-sweep hook */
+static const float LSF_MEAN[LP_ORDER] = {LSF_MEAN_OVERRIDE};
+#else
 static const float LSF_MEAN[LP_ORDER] = {
     0.2244f, 0.4553f, 0.7101f, 1.0053f, 1.3302f,
     1.6541f, 1.9752f, 2.2920f, 2.6032f, 2.9034f};
+#endif
+#ifdef LSF_STEP_OVERRIDE               /* tuning-sweep hook */
+static const float LSF_STEP[LP_ORDER] = {LSF_STEP_OVERRIDE};
+#else
 static const float LSF_STEP[LP_ORDER] = {
     0.0416f, 0.0480f, 0.0544f, 0.0600f, 0.0640f,
     0.0640f, 0.0880f, 0.0880f, 0.0840f, 0.0760f};
+#endif
 /* predictors are deliberately SHORT-memory: the host invokes the codec
  * exes once per 690-short block (2 frames — reference voice.py:73), so
  * decoder state never survives more than 2 frames; prediction operates
@@ -156,6 +172,10 @@ static void lsf_quantize(tetra_celp_state *st, const float *lsf,
         if (q > levels - 1) q = levels - 1;
         idx[i] = q;
         lsf_q[i] = pred + (q - levels / 2) * LSF_STEP[i];
+#ifdef LSF_STATS
+        fprintf(stderr, "LSF i=%d r=%.4f lsf=%.4f clip=%d\n", i, r,
+                lsf[i], (q == 0 || q == levels - 1));
+#endif
     }
 }
 
