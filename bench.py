@@ -647,6 +647,14 @@ def main() -> int:
         if blind:
             child_env["BENCH_FIRST_SYNC_S"] = "120"
             budget = min(budget, 300.0)
+        if t == "pfb" and attempts[t] >= 3 \
+                and "BENCH_PFB_VARIANT" not in os.environ:
+            # the default PFB variant is the Pallas bf16 kernel; if a
+            # window is Mosaic-hostile (HTTP 500 compiles), the LAST
+            # pfb attempt falls back to the pure-XLA s2d variant so the
+            # 96-channel number is not lost entirely
+            child_env["BENCH_PFB_VARIANT"] = "s2d"
+            _log("pfb retry on the XLA s2d variant (pallas fallback)")
         cpu_pause()
         _log(f"attempting tier {t} (budget {budget:.0f}s"
              f"{', blind' if blind else ''})")

@@ -638,6 +638,8 @@ void celp_encode_frame(tetra_celp_state *st, const float *speech,
              * the same thing */
 #ifndef FRESH_GP_SF0
 #define FRESH_GP_SF0 3         /* tuning-sweep hooks (index caps) */
+#endif
+#ifndef FRESH_GP_SF1
 #define FRESH_GP_SF1 6
 #endif
             int gp_max = (fresh && sf == 0) ? FRESH_GP_SF0

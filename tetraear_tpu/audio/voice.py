@@ -194,7 +194,11 @@ class VoiceProcessor:
         pair, preserving decoder state (excitation history, synthesis
         memory) across blocks — the high-quality path for accumulated
         voice (downlink TCH/S streams, call recordings).  Per-block
-        `decode_frame` stays contract-exact with the reference."""
+        `decode_frame` adds serial warm-up context by default (round 5)
+        and is therefore history-dependent; it matches the reference's
+        stateless per-block contract exactly when the context is empty
+        (fresh instance / after reset_context(), pinned by
+        tests/conformance/test_reference_ab.py)."""
         blocks = [b for b in blocks if b and validate_block(b)]
         if not self.working or not blocks:
             return np.zeros(0)

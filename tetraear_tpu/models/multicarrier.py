@@ -38,16 +38,22 @@ class MulticarrierResult(NamedTuple):
 
 def _window_mode() -> str:
     """Candidate-window extraction: "onehot" (gather-free tile matmul,
-    the default) or "vmap" (the r2-r4 per-row gather, kept as a
-    kill-switch).  Round-5 attribution (tools/tpu_conv_probe.py
-    candgather96): the vmap gather was 39.2 ms of the 39.8 ms
-    96-channel candidates program on the remote TPU — gathers of any
-    shape are pathological on this backend.  The one-hot variant is
-    bit-identical (pinned) and measured, same healthy window:
-    cand96 39.8 -> 9.6 ms, cand16 11.8 -> 6.4 ms, full 16-carrier
-    pipeline 221.9 -> 265.0 MS/s, 96-channel PFB 100.6 -> 160.2 MS/s
-    (BENCH_EVIDENCE_r5.md) — hence the default."""
-    v = os.environ.get("TETRAEAR_CAND_GATHER", "onehot")
+    the accelerator default) or "vmap" (the r2-r4 per-row gather, the
+    CPU default and the accelerator kill-switch).  Round-5 attribution
+    (tools/tpu_conv_probe.py candgather96): the vmap gather was 39.2 ms
+    of the 39.8 ms 96-channel candidates program on the remote TPU —
+    gathers of any shape are pathological on this backend.  The one-hot
+    variant is bit-identical (pinned by tests/unit/
+    test_fused_frontend.py) and measured, same healthy window: cand96
+    39.8 -> 9.6 ms, cand16 11.8 -> 6.4 ms, full 16-carrier pipeline
+    221.9 -> 265.0 MS/s, 96-channel PFB 100.6 -> 160.2 MS/s
+    (BENCH_EVIDENCE_r5.md) — hence the accelerator default.  On CPU the
+    indexed gather is near-free while the one-hot einsums are ~GFLOPs
+    of real work, so the legacy path stays the CPU default (same
+    backend gating as every other dense-for-TPU formulation here)."""
+    v = os.environ.get("TETRAEAR_CAND_GATHER")
+    if v is None:
+        return "onehot" if jax.default_backend() != "cpu" else "vmap"
     if v not in ("vmap", "onehot"):
         raise ValueError(f"TETRAEAR_CAND_GATHER={v!r} invalid")
     return v
@@ -65,7 +71,7 @@ def _windows_onehot(bits: jnp.ndarray, start: jnp.ndarray) -> jnp.ndarray:
     replicates the last bit so out-of-range reads equal the legacy
     clamp exactly.  All arithmetic is one-hot selection of 0/1 values
     in bf16 with f32 accumulation — exact by construction (pinned by
-    tests/unit/test_multicarrier.py)."""
+    tests/unit/test_fused_frontend.py)."""
     S = 128
     b = bits.shape[-1]
     lead = bits.shape[:-1] + start.shape[-1:]          # (..., K)

@@ -197,7 +197,7 @@ def soft_crc_dense(bits: jnp.ndarray, fold: int | None = None,
     of the 39.8 ms 96-channel candidates program); bf16 casts the
     inputs (bits and a 0/1 kernel are exact in bf16, accumulation stays
     f32, so every sum — integers <= 233 — is EXACT and the verdict is
-    bit-identical; pinned by tests/unit/test_crc.py).
+    bit-identical; pinned by tests/unit/test_ops_demod.py).
     """
     from jax import lax
     if fold is None or bf16 is None:

@@ -685,16 +685,28 @@ def _decode_multicarrier(args, source) -> int:
     import jax
     accel = jax.default_backend() != "cpu"
     conv = getattr(args, "conv", "auto")
+    # an EXPLICIT --conv is honored on every backend (fail-loudly rule:
+    # the requested variant must run or error, never silently swap —
+    # Pallas variants run in interpret mode off-TPU); "auto" picks the
+    # robust default per backend
     if getattr(args, "pfb", False):
         # full-band polyphase filterbank: every 25 kHz channel at once
         from tetraear_tpu.models.multicarrier import PfbMulticarrierFrontend
-        fused = ("s2d" if conv == "auto" else conv) if accel else False
+        if conv == "s2d_of":
+            raise SystemExit("--conv s2d_of is a 16-carrier variant; "
+                             "the PFB supports s2d, s2d_mono, s2d_hb16, "
+                             "pallas, pallas_bf16")
+        fused = ("s2d" if accel else False) if conv == "auto" else conv
         pfb_fe = PfbMulticarrierFrontend(fused=fused)
         args.carriers = pfb_fe.num_channels
         offsets = pfb_fe.channel_offsets_hz()
         mc = lambda samples, offs, start_index=0: pfb_fe(samples)  # noqa: E731
     else:
-        fused = ("s2d" if conv == "auto" else conv) if accel else False
+        if conv in ("s2d_mono", "s2d_hb16"):
+            raise SystemExit(f"--conv {conv} is a PFB (--pfb) variant; "
+                             "the DDC bank supports s2d, s2d_of, "
+                             "pallas, pallas_bf16")
+        fused = ("s2d" if accel else False) if conv == "auto" else conv
         mc = MulticarrierFrontend(fused=fused)
         offsets = carrier_grid(args.carriers)
     dec = MulticarrierDecoder(args.carriers, auto_decrypt=args.auto_decrypt)

@@ -108,8 +108,11 @@ for attempt in $(seq 1 2000); do
   log "attempt $name (try $tries/$MAX_TRIES)"
   if env TETRAEAR_DEVLOCK_HELD=1 timeout "$tmo" bash -c "$cmd" \
        > "$OUT/$name.out.tmp" 2> "$OUT/$name.err"; then
-    # success requires a real result line, not just rc=0
-    if grep -qE '"ok": true|ms_per_block|"metric"' "$OUT/$name.out.tmp"; then
+    # success requires a real ACCELERATOR result line, not just rc=0 —
+    # bench_failed / _cpu_fallback lines must NOT park the item as done
+    if grep -qE '"ok": true|ms_per_block|iq_samples_per_sec_per_chip' \
+         "$OUT/$name.out.tmp" \
+       && ! grep -qE 'cpu_fallback|bench_failed' "$OUT/$name.out.tmp"; then
       mv "$OUT/$name.out.tmp" "$OUT/$name.out"
       touch "$OUT/$name.done"
       log "DONE $name: $(tail -c 220 "$OUT/$name.out")"

@@ -329,9 +329,13 @@ def _build(probe: str, scale: int):
 
     if probe in ("cand16", "cand96", "cand96_oh", "cand16_oh"):
         # the candidates+CRC program alone (the third dispatched stage);
-        # _oh = gather-free one-hot window extraction (round-5)
+        # _oh = gather-free one-hot window extraction (round-5).  Both
+        # branches PIN the mode: the module default is backend-dependent
+        # and would silently make cand96 == cand96_oh in an A/B
         if probe.endswith("_oh"):
             os.environ["TETRAEAR_CAND_GATHER"] = "onehot"
+        else:
+            os.environ["TETRAEAR_CAND_GATHER"] = "vmap"
         from tetraear_tpu.models.multicarrier import _candidates_compiled
         c = 16 if probe.startswith("cand16") else 96
         m = n // decim // sps
