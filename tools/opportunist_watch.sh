@@ -39,11 +39,8 @@ CAP_S=${OPPWATCH_CAP_S:-23400}
 # whether the 34.8 ms conv floor is fixed-cost or input-linear; pallas*
 # decides the MXU-kernel bet; cand96/tail96 attribute the 96-ch tail gap.
 ITEMS=(
-  # ---- r5 phase 10: re-verify the default chain after the kernel
-  # signature edits (out_bf16 plumbing; f32 default path should be
-  # HLO-identical), plus one 16c hb16 data point for completeness
-  "bench_full8|1400|BENCH_WINDOW_S=1100 python bench.py"
-  "bench_p16hb16|700|python bench.py --tier fused_pallas_hb16"
+  # ---- r5 phase 11: final committed-state verification
+  "bench_full9|1400|BENCH_WINDOW_S=1100 python bench.py"
 )
 N=${#ITEMS[@]}
 
