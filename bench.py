@@ -80,7 +80,7 @@ FULL_DECODE_16C = ("fused_pallas_bf16", "fused_s2d_of", "realpair64")
 # pfb, pfb_b<N>, realpair64, realpair0, single.
 
 _PFB_VARIANTS = ("s2d", "s2d_mono", "s2d_hb16", "pallas", "pallas_db",
-                 "pallas_bf16", "pallas_hb16")
+                 "pallas_bf16", "pallas_hb16", "pallas_mono")
 
 
 def pick_tier(results: list, attempts: dict, custom: tuple | None,

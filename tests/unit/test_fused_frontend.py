@@ -662,7 +662,8 @@ class TestPfbHalfHandoff:
             np.testing.assert_array_equal(np.asarray(a.crc_ok)[c][va[c]],
                                           np.asarray(b.crc_ok)[c][vb[c]])
 
-    @pytest.mark.parametrize("variant", ["pallas_bf16", "pallas_hb16"])
+    @pytest.mark.parametrize("variant", ["pallas_bf16", "pallas_hb16",
+                                         "pallas_mono"])
     def test_pallas_bf16_decodes_planted_burst_identically(self, variant):
         """fused="pallas_bf16" (the round-5 bench default: 251.7 vs
         160.2 MS/s same-window, BENCH_EVIDENCE_r5.md) and its

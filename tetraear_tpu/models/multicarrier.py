@@ -597,7 +597,7 @@ class PfbMulticarrierFrontend:
         if self.fused:
             if isinstance(self.fused, str) and self.fused not in (
                     "pallas", "pallas_db", "pallas_bf16", "pallas_hb16",
-                    "s2d", "s2d_mono", "s2d_hb16"):
+                    "pallas_mono", "s2d", "s2d_mono", "s2d_hb16"):
                 # fail loudly: an unknown variant string must not silently
                 # fall through to the legacy fused_channelize_ri path and
                 # get measured/labeled as the variant that never ran
@@ -612,6 +612,31 @@ class PfbMulticarrierFrontend:
             rot_np = np.asarray(rot)
             sps = cfg.ref_samples_per_symbol
             z_rot = fused.symbol_rotation(rot_np, decim, sps)
+
+            if self.fused == "pallas_mono":
+                # Pallas bf16 conv + demod tail in ONE program: at the
+                # pallas_bf16 operating point (~25 ms conv of a 33.4 ms
+                # block) ~8 ms of tail/candidates remains exposed
+                # across the program boundary — the monolith lets XLA
+                # schedule tail work behind the pallas_call and drops a
+                # dispatch
+                from tetraear_tpu.ops.pallas.s2d_conv import (
+                    _group_weights, pallas_s2d_conv_wk)
+                L = kernel.shape[-1]
+                k2m = np.asarray(fused.s2d_kernel(kernel, decim))
+                _c2m, ichm, lpm = k2m.shape
+                kernel_dev = jax.device_put(
+                    jnp.asarray(_group_weights(k2m, decim)))
+
+                @jax.jit
+                def front_pmono(x, kern):
+                    out = pallas_s2d_conv_wk(x, kern, gc, L, decim,
+                                             ichm, lpm, variant="bf16")
+                    c2h = out.shape[0] // 2
+                    res = _demod_from_pair(out[:c2h], out[c2h:], sps,
+                                           z_rot=z_rot)
+                    return res.bits, res.sync_corr, res.count
+                return _assemble(lambda x: front_pmono(x, kernel_dev))
 
             if self.fused in ("pallas", "pallas_db", "pallas_bf16",
                               "pallas_hb16"):

@@ -39,8 +39,10 @@ CAP_S=${OPPWATCH_CAP_S:-23400}
 # whether the 34.8 ms conv floor is fixed-cost or input-linear; pallas*
 # decides the MXU-kernel bet; cand96/tail96 attribute the 96-ch tail gap.
 ITEMS=(
-  # ---- r5 phase 11: final committed-state verification
-  "bench_full9|1400|BENCH_WINDOW_S=1100 python bench.py"
+  # ---- r5 phase 12: pallas_mono (conv+tail one program) A/B at 96ch
+  "bench_pfb_pmono|900|BENCH_PFB_VARIANT=pallas_mono python bench.py --tier pfb"
+  "bench_pfb_pbf_ab3|900|python bench.py --tier pfb"
+  "bench_pfb_pmono2|900|BENCH_PFB_VARIANT=pallas_mono python bench.py --tier pfb"
 )
 N=${#ITEMS[@]}
 
