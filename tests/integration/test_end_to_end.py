@@ -251,6 +251,21 @@ class TestCLI:
         assert "bits" not in rows[0]
         assert rows[0]["mac_pdu"]["data"] == bytes(b"HELLO HELLO").hex()
 
+    def test_decode_conv_variant_validation(self, golden_iq, tmp_path):
+        """--conv combinations invalid for the selected frontend fail
+        up front with a clear message, not a mid-run traceback."""
+        result = subprocess.run(
+            [sys.executable, "-m", "tetraear_tpu", "decode",
+             str(golden_iq), "--carriers", "3", "--conv", "s2d_mono"],
+            capture_output=True, text=True, timeout=300,
+            env={**__import__("os").environ, "PYTHONPATH": str(REPO),
+                 "TETRAEAR_TPU_LOG_DIR": str(tmp_path / "logs"),
+                 "JAX_PLATFORMS": "cpu"},
+            cwd=str(tmp_path))
+        assert result.returncode != 0
+        assert "PFB (--pfb) variant" in result.stderr
+        assert "Traceback" not in result.stderr
+
     def test_waterfall_subcommand(self, golden_iq, tmp_path):
         """`waterfall <iq> -o x.png` writes a spec-valid PNG of the
         capture (the headless pixel surface, MIGRATION.md GUI map)."""
