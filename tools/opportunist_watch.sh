@@ -39,8 +39,13 @@ CAP_S=${OPPWATCH_CAP_S:-23400}
 # whether the 34.8 ms conv floor is fixed-cost or input-linear; pallas*
 # decides the MXU-kernel bet; cand96/tail96 attribute the 96-ch tail gap.
 ITEMS=(
-  # ---- r5 phase 12: pallas_mono (conv+tail one program) A/B at 96ch
-  "bench_pfb_pmono|900|BENCH_PFB_VARIANT=pallas_mono python bench.py --tier pfb"
+  # ---- r5 phase 13: block-scale sweep on the NEW default chain (the
+  # scale-8 optimum predates the Pallas conv; its smaller fixed-cost
+  # fraction may move the optimum up), plus the leftover phase-12 A/B
+  "bench_sc16|800|BENCH_SCALE=16 python bench.py --tier fused_pallas_bf16"
+  "bench_sc8|700|python bench.py --tier fused_pallas_bf16"
+  "bench_sc32|800|BENCH_SCALE=32 python bench.py --tier fused_pallas_bf16"
+  "bench_pfb_sc16|900|BENCH_SCALE=16 python bench.py --tier pfb"
   "bench_pfb_pbf_ab3|900|python bench.py --tier pfb"
   "bench_pfb_pmono2|900|BENCH_PFB_VARIANT=pallas_mono python bench.py --tier pfb"
 )
